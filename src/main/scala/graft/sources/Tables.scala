@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * All tables are plain parquet scans except `events`: its `ts` column is
+  * physical parquet TIMESTAMP(NANOS), which Spark 4.1.2 rejects with
+  * PARQUET_TYPE_ILLEGAL unless `spark.sql.legacy.parquet.nanosAsLong` is set.
+  * With the flag, `ts` arrives as nanos-since-epoch LongType and is converted
+  * here to a microsecond timestamp — numerically identical to DuckDB's own
+  * ns→µs truncation of the same column, so oracle queries agree (FIXTURES.md).
+  *
+  * The harness builds the SparkSession without this conf, so it is set here,
+  * per read; the conf is consulted at scan planning time, so setting it right
+  * before `spark.read` is sufficient and does not disturb other scans.
+  */
+object Tables {
+  val star: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = star ++ Seq("events", "documents", "embeddings")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case t        => spark.read.parquet(s"$dir/$t.parquet")
+    }
+
+  /** `events` with `ts` as a µs-precision timestamp (see object doc). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Registers every table as a temp view so SQL-path queries can run. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(t => read(spark, dir, t).createOrReplaceTempView(t))
+}
