@@ -18,7 +18,15 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+import os, time
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+age = time.time() - os.path.getmtime(f"{out}/oracle_sql.json")
+if age > 600:
+    print(f"WARNING: oracle_sql.json is {age/60:.0f} min old — stale run?")
+outdirs = {d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}")}
+no_oracle = sorted(outdirs - set(oracle))
+if no_oracle:
+    print(f"note: {len(no_oracle)} non-oracle outputs (rows-only check): {no_oracle}")
 fail = 0
 for name in sorted(oracle):
     sql = oracle[name]

@@ -1,7 +1,138 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** SURVEY §2: H2 (date/time), H4 (conditional), H7 (JSON), I9 (batch
+  * sessionization) over the `events` stream table — the lambda batch layer
+  * recomputing views over the event log. Timestamps are projected as
+  * epoch-µs bigints or DATE casts, never raw timestamps (SURVEY §7.4). */
 object EventQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+
+  private val oracleEventsUs =
+    """SELECT user_id, event_id, event_type, props, ts, epoch_us(ts) AS us,
+      |       CAST(ROUND(value*100) AS BIGINT) AS cents FROM events""".stripMargin
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    // ---- H2: event-time truncation → hourly batch view ----
+    QueryDef(
+      "q25_hourly_rollup",
+      (s, dir) =>
+        eventsUs(s, dir)
+          .withColumn("hour_us", unix_micros(date_trunc("hour", col("ts"))))
+          .groupBy("hour_us")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+            countDistinct(col("user_id")).as("users"))
+          .orderBy("hour_us"),
+      Some(s"""
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               COUNT(DISTINCT user_id) AS users
+        FROM ($oracleEventsUs)
+        GROUP BY hour_us
+        ORDER BY hour_us
+      """.stripMargin.trim)),
+
+    // ---- H2 + H4: daily view with conditional (CASE) measures ----
+    QueryDef(
+      "q26_daily_type_breakdown",
+      (s, dir) =>
+        eventsUs(s, dir)
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+          .groupBy("day")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", col("cents")).otherwise(0))
+              .as("purchase_cents"),
+            count(when(col("event_type") === "error", lit(1))).as("errors"),
+            count(when(col("event_type") === "signup", lit(1))).as("signups"),
+            sum(when(col("event_type").isin("click", "view"), 1).otherwise(0))
+              .as("engagement"))
+          .orderBy("day"),
+      Some(s"""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT)
+                 AS purchase_cents,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+               CAST(SUM(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS engagement
+        FROM ($oracleEventsUs)
+        GROUP BY day
+        ORDER BY day
+      """.stripMargin.trim)),
+
+    // ---- H7: JSON property extraction from the semi-structured column ----
+    QueryDef(
+      "q27_json_props",
+      (s, dir) =>
+        eventsUs(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .withColumn("k_bucket", floor(col("k") / 10).cast("long"))
+          .groupBy("k_bucket")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+            countDistinct(col("k")).as("distinct_k"))
+          .orderBy("k_bucket"),
+      Some(s"""
+        SELECT CAST(FLOOR(CAST(json_extract_string(props, '$$.k') AS BIGINT) / 10) AS BIGINT)
+                 AS k_bucket,
+               COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents,
+               COUNT(DISTINCT CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS distinct_k
+        FROM ($oracleEventsUs)
+        GROUP BY k_bucket
+        ORDER BY k_bucket
+      """.stripMargin.trim)),
+
+    // ---- I9: batch sessionization (30-min inactivity gap) — the lambda
+    // speed-layer staple recomputed over the full log. lag → flag → running
+    // sum gives a per-user session id in one shuffle. ----
+    QueryDef(
+      "q28_sessionization",
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        eventsUs(s, dir)
+          .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(wRun))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+            max(col("us")).as("end_us"), sum(col("cents")).as("cents"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""
+        WITH e AS ($oracleEventsUs),
+        g AS (
+          SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+          FROM e
+        ),
+        f AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM g
+        ),
+        sess AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+          FROM f
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+      """.stripMargin.trim))
+  )
 }

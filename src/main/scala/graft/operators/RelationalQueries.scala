@@ -28,7 +28,7 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(s, dir, name)
 
-  val defs: Seq[QueryDef] = Seq(
+  lazy val defs: Seq[QueryDef] = Seq(
     // ---- D1: hash aggregate over scan→filter→project (flagship shape) ----
     QueryDef(
       "q01_pricing_summary",

@@ -3,5 +3,5 @@ package graft.operators
 import graft.QueryDef
 
 object ServingQueries {
-  val defs: Seq[QueryDef] = Seq()
+  lazy val defs: Seq[QueryDef] = Seq()
 }

@@ -3,5 +3,5 @@ package graft.operators
 import graft.QueryDef
 
 object TextQueries {
-  val defs: Seq[QueryDef] = Seq()
+  lazy val defs: Seq[QueryDef] = Seq()
 }
