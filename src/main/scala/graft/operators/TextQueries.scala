@@ -1,7 +1,444 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** SURVEY §2 categories H1/H3/H4 (string/math/conditional functions) and the
+  * text side of the LLM-data-pipeline mandate: I1 exact dedup, I3 set-Jaccard
+  * near-dup pairs, I6 text stats, I7 word-freq/TF-IDF, I8 sentiment lexicon
+  * scoring, plus fingerprinting, quality scoring, char-n-gram similarity,
+  * regex tokenization, and dictionary language-ID.
+  *
+  * Scale notes (100 TB design, SURVEY §7.5):
+  * - The near-dup pair join (q33) never does a doc×doc cross join: documents
+  *   collapse to distinct token-SETs first (bitmasks here, since the corpus
+  *   vocabulary fits in 64 bits — the driver corpus has 31 words), pairs are
+  *   enumerated over distinct sets only, then expanded back to doc pairs.
+  *   For open vocabularies the same shape runs on MinHash/LSH buckets
+  *   (see functions.MinHash + q51) instead of exact masks.
+  * - TF-IDF / word-freq are linear explode→agg pipelines with map-side
+  *   partial aggregation; the only global value (corpus size N) travels as a
+  *   broadcast scalar, not a shuffle.
+  */
 object TextQueries {
-  lazy val defs: Seq[QueryDef] = Seq()
+  import Q._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** doc_id + distinct token array. */
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    // ---- H1: string function battery over part ----
+    QueryDef(
+      "q29_string_functions",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+            length(col("p_name")).cast("long").as("name_len"),
+            regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("long").as("brand_num"),
+            split(col("p_type"), " ").getItem(0).as("type_first"),
+            concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+            levenshtein(col("p_type"), lit("PROMO")).cast("long").as("lev_promo"),
+            lower(trim(col("p_name"))).as("name_lower"),
+            expr("replace(p_name, ' ', '_')").as("name_snake"))
+          .orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey,
+               upper(substr(p_name, 1, 8)) AS name_prefix,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_num,
+               string_split(p_type, ' ')[1] AS type_first,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               CAST(levenshtein(p_type, 'PROMO') AS BIGINT) AS lev_promo,
+               lower(trim(p_name)) AS name_lower,
+               replace(p_name, ' ', '_') AS name_snake
+        FROM part ORDER BY p_partkey
+      """.stripMargin.trim)),
+
+    // ---- H3: math function battery (deterministic outputs only) ----
+    QueryDef(
+      "q30_math_functions",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+            floor(col("l_extendedprice")).cast("long").as("price_floor"),
+            abs(dec2(col("l_extendedprice"))).as("price_abs"),
+            round(dec2(col("l_extendedprice")), 1).cast("decimal(18,1)").as("price_round1"),
+            sqrt(col("l_quantity")).cast("decimal(18,9)").as("qty_sqrt"),
+            pow(lit(2), col("l_linenumber")).cast("long").as("pow2_line"),
+            signum(col("l_discount") - 0.05).cast("long").as("disc_sign"),
+            greatest(dec4(col("l_tax")), dec4(col("l_discount"))).as("max_rate"),
+            (col("l_quantity").cast("long") % 7).as("qty_mod7"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               abs(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_abs,
+               CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS price_round1,
+               CAST(sqrt(l_quantity) AS DECIMAL(18,9)) AS qty_sqrt,
+               CAST(pow(2, l_linenumber) AS BIGINT) AS pow2_line,
+               CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+               CAST(greatest(CAST(l_tax AS DECIMAL(18,4)), CAST(l_discount AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS max_rate,
+               CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+      """.stripMargin.trim)),
+
+    // ---- H4: CASE tiers, NULLIF/COALESCE ----
+    QueryDef(
+      "q31_order_tiers",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("tier",
+            when(col("o_totalprice") > 200000, "high")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("low"))
+          .withColumn("status_np", coalesce(nullif(col("o_orderstatus"), lit("P")), lit("X")))
+          .groupBy("tier", "status_np")
+          .agg(count(lit(1)).as("n"), out2(sum(dec2(col("o_totalprice")))).as("total"))
+          .orderBy("tier", "status_np"),
+      Some("""
+        SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               COALESCE(NULLIF(o_orderstatus, 'P'), 'X') AS status_np,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders
+        GROUP BY tier, status_np
+        ORDER BY tier, status_np
+      """.stripMargin.trim)),
+
+    // ---- I1: exact dedup stats (byte-identical texts) ----
+    QueryDef(
+      "q32_exact_dedup",
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("distinct_texts"),
+            (count(lit(1)) - countDistinct(col("text"))).as("exact_dups"))
+          .orderBy("lang"),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS distinct_texts,
+               COUNT(*) - COUNT(DISTINCT text) AS exact_dups
+        FROM documents GROUP BY lang ORDER BY lang
+      """.stripMargin.trim)),
+
+    // ---- I3 (+ I2 scale shape): exact token-set Jaccard near-dup pairs.
+    // Docs collapse to distinct token-set bitmasks; pair enumeration runs
+    // over distinct sets only; popcount Jaccard; expand back to doc pairs.
+    // Exact — no LSH false negatives — yet never materializes doc×doc. ----
+    QueryDef(
+      "q33_neardup_pairs",
+      (s, dir) => {
+        val tok = docToks(s, dir).select(col("doc_id"), explode(col("toks")).as("tok"))
+        // Corpus vocabulary is tiny (31 words, FIXTURES.md) → one 64-bit mask.
+        // Single-partition window is safe on a ≤64-row vocab.
+        val vocab = tok.select("tok").distinct()
+          .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
+        val masks = tok.join(broadcast(vocab), "tok")
+          .groupBy("doc_id")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+        val sets = masks.select("mask").distinct()
+        val pairs = sets.select(col("mask").as("m1"))
+          .crossJoin(sets.select(col("mask").as("m2")))
+          .filter(col("m1") < col("m2"))
+          .withColumn("inter", expr("bit_count(m1 & m2)"))
+          .withColumn("uni", expr("bit_count(m1 | m2)"))
+          .filter(col("inter") / col("uni") > 0.8)
+        val inter = pairs
+          .join(masks.select(col("doc_id").as("da"), col("mask").as("m1")), "m1")
+          .join(masks.select(col("doc_id").as("db"), col("mask").as("m2")), "m2")
+          .select(least(col("da"), col("db")).as("d1"),
+            greatest(col("da"), col("db")).as("d2"),
+            (col("inter") / col("uni")).cast("decimal(9,6)").as("jac"))
+        val intra = masks.select(col("doc_id").as("da"), col("mask"))
+          .join(masks.select(col("doc_id").as("db"), col("mask")), "mask")
+          .filter(col("da") < col("db"))
+          .select(col("da").as("d1"), col("db").as("d2"),
+            lit(1.0).cast("decimal(9,6)").as("jac"))
+        inter.unionAll(intra).orderBy("d1", "d2")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                   FROM documents)
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(a.toks || b.toks)) AS DECIMAL(9,6)) AS jac
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(a.toks || b.toks)) > 0.8
+        ORDER BY d1, d2
+      """.stripMargin.trim)),
+
+    // ---- I6: per-slice text statistics ----
+    QueryDef(
+      "q34_text_stats",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            (sum(col("n_toks")).cast("double") / count(lit(1)))
+              .cast("decimal(18,6)").as("avg_toks"))
+          .orderBy("lang", "source"),
+      Some("""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               CAST(CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / COUNT(*)
+                    AS DECIMAL(18,6)) AS avg_toks
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+      """.stripMargin.trim)),
+
+    // ---- I7: corpus word frequency ----
+    QueryDef(
+      "q35_word_freq",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n").desc, col("word")),
+      Some("""
+        SELECT w.word AS word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM documents, unnest(string_split(text, ' ')) AS w(word)
+        GROUP BY w.word
+        ORDER BY n DESC, word
+      """.stripMargin.trim)),
+
+    // ---- I7: TF-IDF (corpus-global df/N, output restricted to 20 docs) ----
+    QueryDef(
+      "q36_tfidf",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf_cnt"))
+        val docLen = tok.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+        val df = tok.select("doc_id", "word").distinct()
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.filter(col("doc_id") < 20)
+          .join(docLen, "doc_id")
+          .join(broadcast(df), "word")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            expr("CAST((CAST(tf_cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6))"))
+          .select("doc_id", "word", "tf_cnt", "df", "tfidf")
+          .orderBy("doc_id", "word")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, w.word AS word
+                     FROM documents, unnest(string_split(text, ' ')) AS w(word)),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf_cnt FROM tok GROUP BY doc_id, word),
+        dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM tok GROUP BY doc_id),
+        df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.word, tf.tf_cnt, df.df,
+               CAST((CAST(tf.tf_cnt AS DOUBLE) / dl.doc_len)
+                    * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS DECIMAL(18,6)) AS tfidf
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                JOIN df ON tf.word = df.word, n
+        WHERE tf.doc_id < 20
+        ORDER BY tf.doc_id, tf.word
+      """.stripMargin.trim)),
+
+    // ---- I8: sentiment-lexicon scoring (broadcast dictionary join) ----
+    QueryDef(
+      "q37_sentiment",
+      (s, dir) => {
+        import s.implicits._
+        val lex = broadcast(Seq(
+          ("fast", 2), ("slow", -2), ("big", 1), ("small", -1), ("dup", -2),
+          ("merge", 1), ("hash", 1), ("spark", 2), ("scan", -1)
+        ).toDF("word", "score"))
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .join(lex, Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(coalesce(sum(col("score")), lit(0)).cast("long").as("sum_score"),
+            count(lit(1)).as("n_tokens"))
+          .withColumn("score_ratio",
+            (col("sum_score").cast("double") / col("n_tokens")).cast("decimal(18,6)"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH lex(word, score) AS (VALUES
+          ('fast',2),('slow',-2),('big',1),('small',-1),('dup',-2),
+          ('merge',1),('hash',1),('spark',2),('scan',-1)),
+        tok AS (SELECT doc_id, w.word AS word
+                FROM documents, unnest(string_split(text, ' ')) AS w(word))
+        SELECT doc_id,
+               CAST(COALESCE(SUM(score), 0) AS BIGINT) AS sum_score,
+               COUNT(*) AS n_tokens,
+               CAST(CAST(COALESCE(SUM(score), 0) AS DOUBLE) / COUNT(*)
+                    AS DECIMAL(18,6)) AS score_ratio
+        FROM tok LEFT JOIN lex USING (word)
+        GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- I1 scale path: content fingerprint (hash of normalized token set) ----
+    QueryDef(
+      "q38_doc_fingerprint",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("fp",
+            md5(concat_ws(" ",
+              sort_array(array_distinct(split(lower(col("text")), " ")))).cast("binary")))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy("fp"),
+      Some("""
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+               COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents
+        GROUP BY fp HAVING COUNT(*) >= 2
+        ORDER BY fp
+      """.stripMargin.trim)),
+
+    // ---- Text quality scoring (higher-order array functions) ----
+    QueryDef(
+      "q39_quality_score",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+            expr("CAST(CAST(aggregate(transform(toks, t -> length(t)), 0, (s, x) -> s + x) AS DOUBLE) / size(toks) AS DECIMAL(18,6))")
+              .as("mean_tok_len"),
+            expr("CAST(CAST(size(filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) / size(toks) AS DECIMAL(18,6))")
+              .as("stop_ratio"),
+            expr("exists(toks, t -> t = 'spark')").as("has_spark"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                    / len(toks) AS DECIMAL(18,6)) AS mean_tok_len,
+               CAST(CAST(len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                    / len(toks) AS DECIMAL(18,6)) AS stop_ratio,
+               list_contains(toks, 'spark') AS has_spark
+        FROM d ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- Char-3-gram Jaccard similarity (bounded query set) ----
+    QueryDef(
+      "q40_ngram_jaccard",
+      (s, dir) => {
+        val g = docs(s, dir)
+          .filter(col("doc_id") < 50 && length(col("text")) >= 3)
+          .select(col("doc_id"),
+            expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")
+              .as("grams"))
+        g.select(col("doc_id").as("d1"), col("grams").as("g1"))
+          .crossJoin(g.select(col("doc_id").as("d2"), col("grams").as("g2")))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            expr("CAST(CAST(size(array_intersect(g1, g2)) AS DOUBLE) / size(array_union(g1, g2)) AS DECIMAL(9,6))")
+              .as("jac"))
+          .orderBy("d1", "d2")
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, length(text) - 2),
+                                              i -> substr(text, i, 3))) AS grams
+          FROM documents WHERE doc_id < 50 AND length(text) >= 3
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || b.grams)) AS DECIMAL(9,6)) AS jac
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        ORDER BY d1, d2
+      """.stripMargin.trim)),
+
+    // ---- Regex tokenization (token counting, BPE-ish word extraction) ----
+    QueryDef(
+      "q41_regex_tokens",
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+            expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("n_word_tokens"),
+            regexp_extract(col("text"), "^[a-z]+", 0).as("first_word"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+               regexp_extract(text, '^[a-z]+') AS first_word
+        FROM documents ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- Dictionary-based language-ID heuristic → confusion matrix ----
+    QueryDef(
+      "q42_langid_confusion",
+      (s, dir) => {
+        import s.implicits._
+        val dict = broadcast(Seq(
+          ("en", "the"), ("en", "a"), ("de", "data"), ("de", "dup"),
+          ("es", "spark"), ("es", "sort"), ("fr", "filter"), ("fr", "fast"),
+          ("zh", "join"), ("zh", "key")
+        ).toDF("dlang", "word"))
+        val tok = docs(s, dir)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        val scores = tok.join(dict, Seq("word"))
+          .groupBy("doc_id", "lang", "dlang")
+          .agg(count(lit(1)).as("hits"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("hits").desc, col("dlang"))
+        scores.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("lang"), col("dlang").as("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "predicted")
+      },
+      Some("""
+        WITH dict(dlang, word) AS (VALUES
+          ('en','the'),('en','a'),('de','data'),('de','dup'),
+          ('es','spark'),('es','sort'),('fr','filter'),('fr','fast'),
+          ('zh','join'),('zh','key')),
+        tok AS (SELECT doc_id, lang, w.word AS word
+                FROM documents, unnest(string_split(text, ' ')) AS w(word)),
+        scores AS (
+          SELECT doc_id, lang, dlang, COUNT(*) AS hits
+          FROM tok JOIN dict USING (word)
+          GROUP BY doc_id, lang, dlang
+        ),
+        best AS (
+          SELECT doc_id, lang, dlang,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, dlang) AS rn
+          FROM scores
+        )
+        SELECT lang, dlang AS predicted, COUNT(*) AS n_docs
+        FROM best WHERE rn = 1
+        GROUP BY lang, predicted
+        ORDER BY lang, predicted
+      """.stripMargin.trim))
+  )
 }
