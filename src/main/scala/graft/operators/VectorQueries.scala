@@ -1,7 +1,161 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** SURVEY §2: I4 cosine similarity, I5 top-k vector search, I10 multimodal
+  * join, H5 higher-order array functions — the embedding side of the
+  * LLM-data-pipeline mandate.
+  *
+  * Numeric determinism: floats are widened to double FIRST, then dot/norm
+  * accumulate left-to-right (`aggregate` over `zip_with`), the exact same
+  * sequential fold the DuckDB oracle performs via
+  * `list_sum(list_transform(...))` — verified bit-identical. DuckDB's
+  * built-in `list_cosine_similarity` is float-precision and is deliberately
+  * NOT used.
+  *
+  * Scale notes: q43 never does corpus×corpus — `label` acts as the coarse
+  * IVF bucket (join key = shuffle partition), so each bucket's pair set is
+  * quadratic only within the bucket. q44 broadcasts the (small) query set
+  * against the corpus: one scan, no shuffle of the corpus side.
+  */
 object VectorQueries {
-  lazy val defs: Seq[QueryDef] = Seq()
+
+  private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val normExpr =
+    "sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"
+
+  /** vec_id, label, e (double array), nrm (L2 norm). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), expr(toDouble).as("e"))
+      .withColumn("nrm", expr(normExpr))
+
+  /** Oracle CTE computing the identical doubles. */
+  private val oracleVecs =
+    """SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |       sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |                                    x -> x * x))) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val dotAB =
+    "aggregate(zip_with(ae, be, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+  private val oracleDotAB =
+    "list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))"
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    // ---- I4 + embedding near-dup: bucketed (IVF-style) cosine pair join ----
+    QueryDef(
+      "q43_cosine_neardup",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val a = v.select(col("vec_id").as("va"), col("label"),
+          col("e").as("ae"), col("nrm").as("anrm"))
+        val b = v.select(col("vec_id").as("vb"), col("label"),
+          col("e").as("be"), col("nrm").as("bnrm"))
+        a.join(b, Seq("label"))
+          .filter(col("va") < col("vb"))
+          .withColumn("cos", expr(s"$dotAB / (anrm * bnrm)"))
+          .filter(col("cos") > 0.30)
+          .select(col("va"), col("vb"), col("label"),
+            col("cos").cast("decimal(18,9)").as("cos_sim"))
+          .orderBy("va", "vb")
+      },
+      Some(s"""
+        WITH t AS ($oracleVecs)
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+               CAST($oracleDotAB / (a.nrm * b.nrm) AS DECIMAL(18,9)) AS cos_sim
+        FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE $oracleDotAB / (a.nrm * b.nrm) > 0.30
+        ORDER BY va, vb
+      """.stripMargin.trim)),
+
+    // ---- I5: brute-force top-k cosine kNN for a bounded query set ----
+    QueryDef(
+      "q44_knn_topk",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val q = v.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("e").as("ae"), col("nrm").as("anrm"))
+        val c = v.select(col("vec_id").as("nb_id"), col("e").as("be"), col("nrm").as("bnrm"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id"))
+        broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("nb_id"))
+          .withColumn("cos", expr(s"$dotAB / (anrm * bnrm)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("nb_id"),
+            col("cos").cast("decimal(18,9)").as("cos_sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        WITH t AS ($oracleVecs)
+        SELECT a.vec_id AS q_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY $oracleDotAB / (a.nrm * b.nrm) DESC, b.vec_id)
+                 AS rank,
+               b.vec_id AS nb_id,
+               CAST($oracleDotAB / (a.nrm * b.nrm) AS DECIMAL(18,9)) AS cos_sim
+        FROM t a JOIN t b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        QUALIFY rank <= 5
+        ORDER BY q_id, rank
+      """.stripMargin.trim)),
+
+    // ---- I10: multimodal join (text + vector + metadata in one row) ----
+    QueryDef(
+      "q45_multimodal_join",
+      (s, dir) => {
+        val d = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_toks"))
+        val v = vecs(s, dir)
+        d.join(v, d("doc_id") === v("vec_id"))
+          .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+            col("n_toks"), col("nrm").cast("decimal(18,9)").as("l2_norm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS ($oracleVecs)
+        SELECT doc_id, lang, label, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               CAST(nrm AS DECIMAL(18,9)) AS l2_norm
+        FROM documents JOIN t ON doc_id = vec_id
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- H5: higher-order array function battery over embeddings ----
+    QueryDef(
+      "q46_array_functions",
+      (s, dir) =>
+        Tables.read(s, dir, "embeddings")
+          .withColumn("e", expr(toDouble))
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            expr("CAST(array_max(e) AS DECIMAL(18,6))").as("max_val"),
+            expr("CAST(array_min(e) AS DECIMAL(18,6))").as("min_val"),
+            expr("CAST(size(filter(e, x -> x > 0)) AS BIGINT)").as("n_pos"),
+            expr("CAST(aggregate(slice(e, 1, 4), CAST(0 AS DOUBLE), (s, x) -> s + x) AS DECIMAL(18,9))")
+              .as("first4_sum"),
+            expr("CAST(aggregate(zip_with(e, reverse(e), (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) AS DECIMAL(18,9))")
+              .as("palindot"))
+          .orderBy("vec_id"),
+      Some("""
+        WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings)
+        SELECT vec_id,
+               CAST(len(e) AS BIGINT) AS dim,
+               CAST(list_max(e) AS DECIMAL(18,6)) AS max_val,
+               CAST(list_min(e) AS DECIMAL(18,6)) AS min_val,
+               CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+               CAST(list_sum(e[1:4]) AS DECIMAL(18,9)) AS first4_sum,
+               CAST(list_sum(list_transform(generate_series(1, len(e)),
+                                            i -> e[i] * e[len(e) + 1 - i]))
+                    AS DECIMAL(18,9)) AS palindot
+        FROM t ORDER BY vec_id
+      """.stripMargin.trim))
+  )
 }
