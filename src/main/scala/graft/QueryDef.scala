@@ -23,7 +23,8 @@ object Registry {
       operators.EventQueries.defs ++
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
-      operators.ServingQueries.defs
+      operators.ServingQueries.defs ++
+      operators.SketchQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

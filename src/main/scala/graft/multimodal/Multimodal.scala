@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY / LLM-pipeline mandate).
+  *
+  * Media payloads (image/audio/video) are carried as opaque `binary` columns
+  * next to typed metadata — the exact layout a 100 TB training-data pipeline
+  * uses for parquet-resident media. The Spark-side plumbing here (schema,
+  * batch shape, partition-wise decode) is real; the DECODE ITSELF IS A STUB:
+  * no media codecs ship in this container, so `decodeStub`/`decodeBatch`
+  * derive deterministic fake dimensions from the payload bytes. Swapping in
+  * a real decoder (JNI/ffmpeg/ImageIO) changes only the marked function.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by the (stubbed) decoder. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, sha: String,
+      width: Int, height: Int, frames: Int)
+
+  private final case class Payload(doc_id: Long, payload: Array[Byte])
+
+  /** Attach an opaque binary payload column (stand-in: UTF-8 text bytes —
+    * a real pipeline reads these from parquet as-is). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Columnar decode path: metadata derived entirely by codegen'd built-ins.
+    * STUB — fake dimensions are a deterministic function of payload size. */
+  def decodeStub(withPayloadDf: DataFrame): DataFrame =
+    withPayloadDf
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("sha", sha2(col("payload"), 256))
+      .withColumn("width", (lit(64) + col("n_bytes") % 1856).cast("int"))
+      .withColumn("height", (lit(64) + (col("n_bytes") * 7) % 1016).cast("int"))
+      .withColumn("frames", (lit(1) + col("n_bytes") % 30).cast("int"))
+
+  /** Partition-wise decode path: the shape a heavyweight decoder needs — one
+    * decoder instance per partition, rows streamed through it in batches.
+    * Mirrors PySpark's mapInPandas contract in idiomatic Scala. */
+  def decodeBatch(spark: SparkSession, withPayloadDf: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id"), col("payload")).as[Payload]
+      .mapPartitions { rows =>
+        // A real implementation initializes the codec ONCE here:
+        //   val decoder = HeavyDecoder.open()   // <-- stubbed below
+        rows.map { p =>
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(p.payload).map("%02x".format(_)).mkString
+          val n = p.payload.length.toLong
+          // STUB decode: deterministic fake dims (see object doc).
+          MediaMeta(p.doc_id, n, sha,
+            (64 + n % 1856).toInt, (64 + (n * 7) % 1016).toInt, (1 + n % 30).toInt)
+        }
+      }
+  }
+}
