@@ -41,27 +41,77 @@ object MinHash {
           expr(s"slice($sigCol, band_id * (size($sigCol) div $n) + 1, size($sigCol) div $n)")))
   }
 
+  /** Documents grouped by identical token SET (sorted, so element order
+    * never splits a set): one row per distinct set with a representative id
+    * and the member list. Near-dup structure makes many docs share a set —
+    * collapsing first shrinks every downstream join. */
+  def distinctSets(docs: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    docs.groupBy(sort_array(col(tokensCol)).as("toks"))
+      .agg(collect_list(col(idCol)).as("ids"), min(col(idCol)).as("rep"))
+
   /** Candidate near-dup pairs via LSH banding, confirmed by exact Jaccard.
     * Input: (idCol, tokens array). Output: d1, d2, jac (double) with
     * jac >= threshold. Exact-verify step makes precision 1.0; recall follows
-    * the banding S-curve. */
+    * the banding S-curve.
+    *
+    * Shape (100 TB note): signatures, banding, candidate enumeration, and
+    * the exact confirm all run over DISTINCT token sets; identical-set
+    * members (Jaccard 1.0 by definition) and confirmed set pairs are
+    * expanded back to document pairs only at the very end. */
   def nearDupPairs(docs: DataFrame, idCol: String, tokensCol: String,
       numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"), col(tokensCol).as("toks"))
-      .withColumn("sig", signature(col("toks"), numHashes))
-    val banded = bands(sig, "sig", numBands).select("id", "band_hash")
+    import org.apache.spark.sql.expressions.Window
+    val grouped = distinctSets(docs, idCol, tokensCol)
+    val sets = grouped.select(col("rep"), col("toks"))
+    val sig = sets.withColumn("sig", signature(col("toks"), numHashes))
+    val banded = bands(sig, "sig", numBands).select("rep", "band_hash")
     val cand = banded.as("x").join(banded.as("y"), Seq("band_hash"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("d1"), col("y.id").as("d2"))
+      .filter(col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("r1"), col("y.rep").as("r2"))
       .distinct()
-    val t1 = sig.select(col("id").as("d1"), col("toks").as("t1"))
-    val t2 = sig.select(col("id").as("d2"), col("toks").as("t2"))
-    cand.join(t1, "d1").join(t2, "d2")
-      .withColumn("jac",
-        size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2"))))
-      .filter(col("jac") >= threshold)
-      .select("d1", "d2", "jac")
+    // Adaptive exact-confirm: if the corpus vocabulary fits in 64 bits,
+    // compare token sets as bitmask popcounts (pure integer ops) instead of
+    // string-array intersections — same result, far cheaper per candidate.
+    // (An AQE-style data-dependent plan choice; the array path is the
+    // general case for open vocabularies.)
+    val vocab = sets.select(explode(col("toks")).as("tok")).distinct()
+    val confirmed = if (vocab.count() <= 64) {
+      // ≤64 rows: the single-partition window is trivially safe.
+      val vocabIdx = vocab.withColumn("idx",
+        row_number().over(Window.orderBy("tok")) - 1)
+      val masks = sets.select(col("rep"), explode(col("toks")).as("tok"))
+        .join(broadcast(vocabIdx), "tok")
+        .groupBy("rep")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+      cand
+        .join(masks.select(col("rep").as("r1"), col("mask").as("m1")), "r1")
+        .join(masks.select(col("rep").as("r2"), col("mask").as("m2")), "r2")
+        .withColumn("jac",
+          expr("bit_count(m1 & m2)").cast("double") / expr("bit_count(m1 | m2)"))
+        .filter(col("jac") >= threshold)
+        .select("r1", "r2", "jac")
+    } else {
+      val t1 = sets.select(col("rep").as("r1"), col("toks").as("t1"))
+      val t2 = sets.select(col("rep").as("r2"), col("toks").as("t2"))
+      cand.join(t1, "r1").join(t2, "r2")
+        .withColumn("jac",
+          size(array_intersect(col("t1"), col("t2"))).cast("double") /
+            size(array_union(col("t1"), col("t2"))))
+        .filter(col("jac") >= threshold)
+        .select("r1", "r2", "jac")
+    }
+    val members = grouped.select(col("rep"), explode(col("ids")).as("id"))
+    val inter = confirmed
+      .join(members.select(col("rep").as("r1"), col("id").as("ida")), "r1")
+      .join(members.select(col("rep").as("r2"), col("id").as("idb")), "r2")
+      .select(least(col("ida"), col("idb")).as("d1"),
+        greatest(col("ida"), col("idb")).as("d2"), col("jac"))
+    val intra = members.select(col("rep"), col("id").as("ida"))
+      .join(members.select(col("rep"), col("id").as("idb")), "rep")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("d1"), col("idb").as("d2"),
+        lit(1.0).as("jac"))
+    inter.unionByName(intra)
   }
 }
 

@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * derive deterministic fake dimensions from the payload bytes. Swapping in
   * a real decoder (JNI/ffmpeg/ImageIO) changes only the marked function.
   */
+/** Typed metadata produced by the (stubbed) decoder. Top-level so Spark's
+  * encoder codegen can construct it. */
+final case class MediaMeta(
+    doc_id: Long, n_bytes: Long, sha: String,
+    width: Int, height: Int, frames: Int)
+
+/** Raw media row: id + opaque payload bytes. */
+final case class MediaPayload(doc_id: Long, payload: Array[Byte])
+
 object Multimodal {
-
-  /** Typed metadata produced by the (stubbed) decoder. */
-  final case class MediaMeta(
-      doc_id: Long, n_bytes: Long, sha: String,
-      width: Int, height: Int, frames: Int)
-
-  private final case class Payload(doc_id: Long, payload: Array[Byte])
 
   /** Attach an opaque binary payload column (stand-in: UTF-8 text bytes —
     * a real pipeline reads these from parquet as-is). */
@@ -42,7 +44,7 @@ object Multimodal {
     * Mirrors PySpark's mapInPandas contract in idiomatic Scala. */
   def decodeBatch(spark: SparkSession, withPayloadDf: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    withPayloadDf.select(col("doc_id"), col("payload")).as[Payload]
+    withPayloadDf.select(col("doc_id"), col("payload")).as[MediaPayload]
       .mapPartitions { rows =>
         // A real implementation initializes the codec ONCE here:
         //   val decoder = HeavyDecoder.open()   // <-- stubbed below

@@ -55,22 +55,36 @@ object SketchQueries {
     QueryDef(
       "q51_simhash_neardup",
       (s, dir) => {
-        val fp = docToks(s, dir)
-          .withColumn("sim", SimHash.simhash64(col("toks")))
+        // Fingerprint DISTINCT token sets (one grouped codegen pass), band
+        // by 16-bit chunks, confirm hamming, then expand to doc pairs.
+        val grouped = MinHash.distinctSets(docToks(s, dir), "doc_id", "toks")
+        val fp = SimHash.simhashAgg(
+          grouped.select(col("rep"), col("toks")), "rep", "toks")
         val chunks = fp.withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
-          .withColumn("chunk",
-            expr("(sim >> (chunk_id * 16)) & 65535"))
-          .select("doc_id", "sim", "chunk_id", "chunk")
+          .withColumn("chunk", expr("(sim >> (chunk_id * 16)) & 65535"))
+          .select("rep", "sim", "chunk_id", "chunk")
         val cand = chunks.as("x")
           .join(chunks.as("y"), Seq("chunk_id", "chunk"))
-          .filter(col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          .filter(col("x.rep") < col("y.rep"))
+          .select(col("x.rep").as("r1"), col("y.rep").as("r2"),
             col("x.sim").as("s1"), col("y.sim").as("s2"))
           .distinct()
-        cand.withColumn("hamming", SimHash.hamming(col("s1"), col("s2")))
+        val confirmed = cand
+          .withColumn("hamming", SimHash.hamming(col("s1"), col("s2")).cast("long"))
           .filter(col("hamming") <= 3)
-          .select("d1", "d2", "hamming")
-          .orderBy("d1", "d2")
+          .select("r1", "r2", "hamming")
+        val members = grouped.select(col("rep"), explode(col("ids")).as("id"))
+        val inter = confirmed
+          .join(members.select(col("rep").as("r1"), col("id").as("ida")), "r1")
+          .join(members.select(col("rep").as("r2"), col("id").as("idb")), "r2")
+          .select(least(col("ida"), col("idb")).as("d1"),
+            greatest(col("ida"), col("idb")).as("d2"), col("hamming"))
+        val intra = members.select(col("rep"), col("id").as("ida"))
+          .join(members.select(col("rep"), col("id").as("idb")), "rep")
+          .filter(col("ida") < col("idb"))
+          .select(col("ida").as("d1"), col("idb").as("d2"),
+            lit(0L).as("hamming"))
+        inter.unionByName(intra).orderBy("d1", "d2")
       }),
 
     // ---- I5 scale path: random-hyperplane LSH-bucketed ANN (non-oracle;
@@ -78,38 +92,49 @@ object SketchQueries {
     QueryDef(
       "q52_embedding_lsh_ann",
       (s, dir) => {
-        val nPlanes = 8
-        // Deterministic pseudo-random hyperplanes — stable across runs/nodes.
-        val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+        graft.plans.VectorFunctions.register(s)
+        // Multi-table random-hyperplane LSH: L tables × k planes. A vector's
+        // bucket in table t is the k-bit sign pattern of its dot products
+        // with that table's planes; candidates = same (table, bucket); union
+        // over tables trades work for recall. Planes are deterministic
+        // pseudo-random (hash-derived) — stable across runs and executors.
+        val nTables = 4
+        val k = 4
+        val planes: Seq[Seq[Double]] = (0 until nTables * k).map { p =>
           (0 until 64).map { d =>
             val h = scala.util.hashing.MurmurHash3.productHash((p, d))
             (h % 1000) / 1000.0
           }
         }
-        val v = Tables.read(s, dir, "embeddings")
-          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-          .withColumn("nrm",
-            expr("sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"))
-        val withPlanes = planes.zipWithIndex.foldLeft(v) { case (df, (plane, i)) =>
+        val v0 = Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("e"))
+          .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+        val withPlanes = planes.zipWithIndex.foldLeft(v0) { case (df, (plane, i)) =>
           df.withColumn(s"plane$i", typedLit(plane))
         }
-        val sig = planes.indices.foldLeft(withPlanes) { case (df, i) =>
-          df.withColumn(s"b$i",
-            when(expr(s"aggregate(zip_with(e, plane$i, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") > 0,
-              lit(1L)).otherwise(lit(0L)))
-        }.withColumn("bucket",
-            planes.indices.map(i => expr(s"b$i << $i")).reduce(_ bitwiseOR _))
-          .select(col("vec_id"), col("e"), col("nrm"), col("bucket"))
-        val q = sig.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("q_id"), col("e").as("ae"),
-            col("nrm").as("anrm"), col("bucket"))
-        val c = sig.select(col("vec_id").as("nb_id"), col("e").as("be"),
-          col("nrm").as("bnrm"), col("bucket"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id"))
-        broadcast(q).join(c, Seq("bucket"))
+        val bucketCols = (0 until nTables).map { t =>
+          (0 until k).map { j =>
+            val p = t * k + j
+            when(expr(s"graft_dot(e, plane$p)") > 0, lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }
+        val melted = withPlanes
+          .withColumn("buckets", array(bucketCols: _*))
+          .select(col("vec_id"),
+            posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+        val cand = melted.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+          .join(melted.select(col("vec_id").as("nb_id"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
           .filter(col("q_id") =!= col("nb_id"))
-          .withColumn("cos",
-            expr("aggregate(zip_with(ae, be, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) / (anrm * bnrm)"))
+          .select("q_id", "nb_id").distinct()
+        val qv = v0.select(col("vec_id").as("q_id"), col("e").as("ae"),
+          col("nrm").as("anrm"))
+        val cv = v0.select(col("vec_id").as("nb_id"), col("e").as("be"),
+          col("nrm").as("bnrm"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id"))
+        cand.join(broadcast(qv), "q_id").join(cv, "nb_id")
+          .withColumn("cos", expr("graft_dot(ae, be) / (anrm * bnrm)"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("nb_id"),

