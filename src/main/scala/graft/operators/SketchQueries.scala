@@ -161,6 +161,21 @@ object SketchQueries {
         FROM documents ORDER BY doc_id
       """.stripMargin.trim)),
 
+    // ---- D9/K2: custom Aggregator UDAF in a declared query — per-language
+    // MinHash sketch of the token universe (non-oracle; the Aggregator's
+    // exactness is proven against a direct computation in SketchSpec) ----
+    QueryDef(
+      "q55_udaf_lang_sketch",
+      (s, dir) => {
+        val mh = udaf(new graft.functions.MinHashAggregator(16))
+        Tables.read(s, dir, "documents")
+          .select(col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
+          .groupBy("lang")
+          .agg(mh(col("toks")).as("sig"))
+          .select(col("lang"), col("sig"))
+          .orderBy("lang")
+      }),
+
     // ---- K1: scalar UDF exhibit with a mirrored SQL oracle ----
     QueryDef(
       "q54_udf_vowel_density",

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions (SURVEY §4): the optimizations the engine relies
+  * on at 100 TB must actually appear in the physical plans. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    Registry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val qe = Registry.queries("q02_predicate_filter")(spark, TestSpark.sf0001)
+      .queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull"), "filters must push down")
+    assert(!scan.contains("l_suppkey"), "unused columns must be pruned")
+  }
+
+  test("dimension joins broadcast (no shuffle of the big side)") {
+    assert(planOf("q04_region_enrichment").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregation is partial+final (map-side combine)") {
+    val p = planOf("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial and final HashAggregate")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q03_top_revenue_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("C2/C3: join strategy hints are honored") {
+    val l = Tables.read(spark, TestSpark.sf0001, "lineitem")
+    val o = Tables.read(spark, TestSpark.sf0001, "orders")
+    val smj = l.hint("MERGE").join(o, l("l_orderkey") === o("o_orderkey"))
+    assert(smj.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val shj = l.hint("SHUFFLE_HASH").join(o, l("l_orderkey") === o("o_orderkey"))
+    assert(shj.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+  }
+
+  test("graft_dot participates in whole-stage codegen") {
+    graft.plans.VectorFunctions.register(spark)
+    val df = Tables.read(spark, TestSpark.sf0001, "embeddings")
+      .selectExpr("graft_dot(embedding, embedding) AS d")
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into WholeStageCodegen stage n.
+    assert(plan.contains("*(1) Project [graft_dot"))
+    // And it must not be wrapped in a CodegenFallback marker.
+    assert(df.selectExpr("sum(d)").collect().head.getDouble(0) > 0)
+  }
+}
