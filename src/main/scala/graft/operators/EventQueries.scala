@@ -91,6 +91,35 @@ object EventQueries {
         ORDER BY k_bucket
       """.stripMargin.trim)),
 
+    // ---- H6 + H7: from_json → struct field access, struct(), map lookup.
+    // Struct/map values stay out of the FINAL projection (SURVEY §7.4 rule
+    // 7) — only scalar fields extracted from them are emitted. ----
+    QueryDef(
+      "q56_json_struct",
+      (s, dir) =>
+        eventsUs(s, dir)
+          .withColumn("parsed",
+            from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType)))))
+          .withColumn("k", col("parsed").getField("k").cast("long"))
+          .withColumn("tagged", struct(col("event_type").as("t"), col("user_id").as("u")))
+          .withColumn("m", map(lit("base"), col("k"), lit("double"), col("k") * 2))
+          .select(
+            col("event_id"),
+            col("k"),
+            col("tagged").getField("t").as("type_from_struct"),
+            element_at(col("m"), "double").as("k_doubled"))
+          .orderBy("event_id"),
+      Some(s"""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+               event_type AS type_from_struct,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) * 2 AS k_doubled
+        FROM ($oracleEventsUs)
+        ORDER BY event_id
+      """.stripMargin.trim)),
+
     // ---- I9: batch sessionization (30-min inactivity gap) — the lambda
     // speed-layer staple recomputed over the full log. lag → flag → running
     // sum gives a per-user session id in one shuffle. ----

@@ -152,6 +152,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("A6: deterministic rate-micro-batch test source") {
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "10").option("numPartitions", "2")
+      .load()
+      .writeStream.format("memory").queryName("rated")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.table("rated").count() >= 10)
+  }
+
   test("J9/A5: AvailableNow file replay of the event log equals the batch result") {
     val agg = StreamingOps.tumblingCounts(
       StreamingOps.fileReplay(spark, TestSpark.sf0001), "1 day", "0 seconds")
