@@ -44,6 +44,21 @@ class PlanSpec extends AnyFunSuite {
     assert(shj.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
   }
 
+  test("partitioned batch layer prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Tables.events(spark, TestSpark.sf0001)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .write.partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition filter in:\n$scan")
+    assert(pruned.count() > 0)
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     graft.plans.VectorFunctions.register(spark)
     val df = Tables.read(spark, TestSpark.sf0001, "embeddings")

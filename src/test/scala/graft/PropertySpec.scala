@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.MinHashAggregator
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.3). Pure-function properties run
+  * without Spark; the lambda-consistency property runs on small generated
+  * DataFrames. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit =
+    assert(SCTest.check(SCTest.Parameters.default, p).passed)
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.oneOf("spark", "query", "join", "the", "fast", "key",
+      "sort", "scan", "merge", "row"))
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size
+
+  test("Jaccard is symmetric, bounded, and 1 on identical sets") {
+    check(forAll(tokenGen, tokenGen) { (x, y) =>
+      val (a, b) = (x.toSet, y.toSet)
+      val j = jaccard(a, b)
+      j >= 0.0 && j <= 1.0 && j == jaccard(b, a) && jaccard(a, a) == 1.0
+    })
+  }
+
+  test("MinHashAggregator merge is commutative and matches single-pass reduce") {
+    check(forAll(tokenGen, tokenGen) { (x, y) =>
+      def fresh = Array.fill(8)(Long.MaxValue)
+      val agg = new MinHashAggregator(8)
+      val ab = agg.merge(agg.reduce(fresh, x), agg.reduce(fresh, y))
+      val ba = agg.merge(agg.reduce(fresh, y), agg.reduce(fresh, x))
+      val onePass = agg.reduce(agg.reduce(fresh, x), y)
+      ab.sameElements(ba) && ab.sameElements(onePass)
+    })
+  }
+
+  test("MinHash signature equality follows set equality") {
+    check(forAll(tokenGen) { x =>
+      val agg = new MinHashAggregator(8)
+      def sigOf(ts: Seq[String]) =
+        agg.reduce(Array.fill(8)(Long.MaxValue), ts).toSeq
+      // Permutation and duplication never change the signature:
+      sigOf(x) == sigOf(scala.util.Random.shuffle(x ++ x))
+    })
+  }
+
+  test("lambda consistency: batch ∪ speed views equal the full recompute") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Gen.listOfN(200,
+      Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 100L), Gen.choose(1L, 9L)))
+      .sample.get
+    val df = rows.toDF("user_id", "t", "v")
+    def view(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("user_id").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("v"))
+    val cut = 50L
+    val unioned = view(df.filter($"t" < cut))
+      .unionByName(view(df.filter($"t" >= cut)))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"),
+        org.apache.spark.sql.functions.sum("v").as("v"))
+    val direct = view(df)
+    assert(unioned.exceptAll(direct).isEmpty && direct.exceptAll(unioned).isEmpty)
+  }
+
+  test("dedup is idempotent") {
+    val spark = TestSpark.spark
+    val docs = graft.sources.Tables.read(spark, TestSpark.sf0001, "documents")
+    val once = docs.dropDuplicates("text")
+    val twice = once.dropDuplicates("text")
+    assert(once.count() == twice.count())
+  }
+}
