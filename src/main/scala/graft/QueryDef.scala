@@ -24,7 +24,8 @@ object Registry {
       operators.TextQueries.defs ++
       operators.VectorQueries.defs ++
       operators.ServingQueries.defs ++
-      operators.SketchQueries.defs
+      operators.SketchQueries.defs ++
+      operators.AnalyticsQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,305 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deeper batch-analytics exhibits over the star schema: TPC-H-shaped
+  * multi-way joins (adapted to the fixture's column subset — FIXTURES.md
+  * notes official TPC-H queries do NOT run unmodified), subquery
+  * decorrelation (SURVEY §4.1), grouping sets, and pivot/unpivot.
+  *
+  * Queries whose cleanest expression is SQL run through `spark.sql` over
+  * temp views (entry point 2, SURVEY §3.2) with text shared with the DuckDB
+  * oracle where the dialects agree. */
+object AnalyticsQueries {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  private def reg(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    // ---- TPC-H Q3 shape: shipping-priority top-10 (3-way join) ----
+    QueryDef(
+      "q57_shipping_priority",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date") < lit("1999-01-01"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("date") > lit("1999-01-01"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"),
+            col("o_orderpriority"))
+          .agg(out6(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+          AND CAST(l_shipdate AS DATE) > DATE '1999-01-01'
+        GROUP BY o_orderkey, odate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+      """.stripMargin.trim)),
+
+    // ---- TPC-H Q5 shape: regional volume via a 6-way join with the
+    // local-supplier correlation (c_nationkey = s_nationkey) ----
+    QueryDef(
+      "q58_local_supplier_volume",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date").between(lit("1996-01-01"), lit("1997-12-31")))
+        val l = t(s, dir, "lineitem")
+        val su = t(s, dir, "supplier")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(out6(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """.stripMargin.trim)),
+
+    // ---- TPC-H Q10 shape: top returned-revenue customers ----
+    QueryDef(
+      "q59_returned_items",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val n = broadcast(t(s, dir, "nation"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(out6(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))).as("lost_revenue"))
+          .orderBy(col("lost_revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS lost_revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // ---- TPC-H Q18 shape: large-quantity orders (HAVING over join) ----
+    QueryDef(
+      "q60_large_orders",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val big = l.groupBy("l_orderkey")
+          .agg(out2(sum(dec2(col("l_quantity")))).as("total_qty"))
+          .filter(col("total_qty") > 220)
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        big.join(o, big("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+            dec2(col("o_totalprice")).as("price"), col("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+      },
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING total_qty > 220
+        )
+        SELECT o_orderkey, c_custkey, c_name,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price, total_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey
+      """.stripMargin.trim)),
+
+    // ---- TPC-H Q16 shape: supplier diversity per part brand/type prefix ----
+    QueryDef(
+      "q61_brand_supplier_diversity",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .withColumn("type_head", split(col("p_type"), " ").getItem(0))
+          .groupBy("p_brand", "type_head")
+          .agg(countDistinct(col("l_suppkey")).as("suppliers"),
+            countDistinct(col("p_partkey")).as("parts"),
+            count(lit(1)).as("lines"))
+          .orderBy("p_brand", "type_head")
+      },
+      Some("""
+        SELECT p_brand, string_split(p_type, ' ')[1] AS type_head,
+               COUNT(DISTINCT l_suppkey) AS suppliers,
+               COUNT(DISTINCT p_partkey) AS parts,
+               COUNT(*) AS lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, type_head
+        ORDER BY p_brand, type_head
+      """.stripMargin.trim)),
+
+    // ---- Year × priority matrix (H2 date extraction over a join) ----
+    QueryDef(
+      "q62_yearly_priority_values",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .groupBy("yr", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            out2(sum(dec2(col("o_totalprice")))).as("total"))
+          .orderBy("yr", "o_orderpriority"),
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        FROM orders
+        GROUP BY yr, o_orderpriority
+        ORDER BY yr, o_orderpriority
+      """.stripMargin.trim)),
+
+    // ---- Correlated scalar subquery (decorrelation, SURVEY §4.1) ----
+    QueryDef(
+      "q63_above_brand_average",
+      (s, dir) => {
+        reg(s, dir, "part")
+        s.sql(aboveBrandAvgSql)
+      },
+      Some(aboveBrandAvgSql)),
+
+    // ---- IN-subquery → semi-join rewrite ----
+    QueryDef(
+      "q64_urgent_buyers",
+      (s, dir) => {
+        reg(s, dir, "customer", "orders")
+        s.sql(urgentBuyersSql)
+      },
+      Some(urgentBuyersSql)),
+
+    // ---- Explicit GROUPING SETS ----
+    QueryDef(
+      "q65_grouping_sets",
+      (s, dir) => {
+        reg(s, dir, "documents")
+        s.sql(groupingSetsSql)
+      },
+      Some(groupingSetsSql)),
+
+    // ---- Pivot: long → wide (fixed column set keeps it deterministic) ----
+    QueryDef(
+      "q66_pivot_event_matrix",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim)),
+
+    // ---- Unpivot/melt: wide → long ----
+    QueryDef(
+      "q67_unpivot_segment_metrics",
+      (s, dir) => {
+        val wide = t(s, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("customers"),
+            countDistinct(col("c_nationkey")).as("nations"))
+        wide.unpivot(Array(col("c_mktsegment")),
+            Array(col("customers"), col("nations")), "metric", "value")
+          .orderBy("c_mktsegment", "metric")
+      },
+      Some("""
+        WITH wide AS (
+          SELECT c_mktsegment, COUNT(*) AS customers,
+                 COUNT(DISTINCT c_nationkey) AS nations
+          FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, 'customers' AS metric, customers AS value FROM wide
+        UNION ALL
+        SELECT c_mktsegment, 'nations', nations FROM wide
+        ORDER BY c_mktsegment, metric
+      """.stripMargin.trim))
+  )
+
+  /** Valid in both Spark SQL and DuckDB: correlated scalar subquery with an
+    * exact-decimal-derived average (no engine-variant floats). */
+  private val aboveBrandAvgSql: String =
+    """
+      SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      FROM part p
+      WHERE p_retailprice >
+        (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         FROM part p2 WHERE p2.p_brand = p.p_brand)
+      ORDER BY p_partkey
+    """.stripMargin.trim
+
+  private val urgentBuyersSql: String =
+    """
+      SELECT c_mktsegment, COUNT(*) AS urgent_buyers
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """.stripMargin.trim
+
+  private val groupingSetsSql: String =
+    """
+      SELECT COALESCE(lang, 'ALL') AS lang_g, COALESCE(source, 'ALL') AS source_g,
+             COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents
+      GROUP BY GROUPING SETS ((lang), (source), ())
+      ORDER BY lang_g, source_g
+    """.stripMargin.trim
+}
