@@ -376,6 +376,33 @@ object TextQueries {
         ORDER BY d1, d2
       """.stripMargin.trim)),
 
+    // ---- Rolling-hash document fingerprints (whole-doc polynomial hash +
+    // winnowing-style min-shingle hash; modulus keeps ANSI-safe bigints
+    // and matches DuckDB's list_reduce arithmetic exactly) ----
+    QueryDef(
+      "q68_rolling_fingerprint",
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.rollingHash(col("text")).as("fp"),
+            graft.functions.TextFunctions.minShingleHash(col("text"), 8).as("min_shingle_fp"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH chars AS (
+          SELECT doc_id, text,
+                 list_transform(generate_series(1, length(text)),
+                                i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs
+          FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(cs, (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+               list_min(list_transform(generate_series(1, length(text) - 7),
+                 i -> list_reduce(cs[i:i+7], (acc, c) -> (acc * 31 + c) % 1000000007)))
+                 AS min_shingle_fp
+        FROM chars
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
     // ---- Regex tokenization (token counting, BPE-ish word extraction) ----
     QueryDef(
       "q41_regex_tokens",
