@@ -37,6 +37,21 @@ object SketchQueries {
             countDistinct(col("user_id")).as("exact_users"))
           .orderBy("event_type")),
 
+    // ---- D4 approx twin: t-digest-style approximate percentiles
+    // (non-oracle — sketch internals are engine-specific; the exact
+    // rank-based variant q21 is the oracled twin) ----
+    QueryDef(
+      "q69_approx_percentiles",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("event_type")
+          .agg(
+            percentile_approx(col("cents"), lit(0.5), lit(10000)).as("p50_approx"),
+            percentile_approx(col("cents"), lit(0.9), lit(10000)).as("p90_approx"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")),
+
     // ---- I2: MinHash/LSH near-dup candidates, exact-Jaccard confirmed
     // (non-oracle: xxhash64 seeds are Spark-specific; recall vs the exact
     // q33 pair set is asserted in MinHashSpec) ----

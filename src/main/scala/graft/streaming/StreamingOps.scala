@@ -99,6 +99,39 @@ object StreamingOps {
       }
   }
 
+  /** J6 (Spark 4 API): the same running per-user aggregate implemented with
+    * transformWithState — the successor to flatMapGroupsWithState, with
+    * named state variables, TTL support, and timer callbacks. TimeMode.None
+    * keeps tests deterministic; production would use event-time timers +
+    * a TTLConfig to expire idle users. */
+  class RunningUserStats extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), UserState] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("agg",
+        org.apache.spark.sql.Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserState] = {
+      var agg = if (st.exists()) st.get() else UserState(key, 0L, 0L)
+      rows.foreach { case (_, us) =>
+        agg = UserState(key, agg.n + 1, math.max(agg.last_us, us))
+      }
+      st.update(agg)
+      Iterator.single(agg)
+    }
+  }
+
+  /** J6 via transformWithState (see [[RunningUserStats]]). */
+  def statefulUserCountsTws(spark: SparkSession, events: DataFrame): Dataset[UserState] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningUserStats,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** J7: enrichment join of a stream against a static dimension table. */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))

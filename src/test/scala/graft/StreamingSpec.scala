@@ -117,6 +117,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("J6 (Spark 4): transformWithState accumulates per-user state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // transformWithState needs a multi-column-family store → RocksDB.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StreamingOps.statefulUserCountsTws(spark, in.toDF())
+      .writeStream.format("memory").queryName("tws")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("update").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("2024-01-01 11:00:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("tws").filter($"user_id" === 9)
+        .orderBy($"n".desc).limit(1)
+        .select("n", "last_us").as[(Long, Long)].collect().head
+      assert(last == ((2L, unixMicros("2024-01-01 11:00:00"))))
+    } finally q.stop()
+  }
+
   test("J7: stream-static enrichment join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((5L, "gold"), (6L, "basic")).toDF("user_id", "tier")
