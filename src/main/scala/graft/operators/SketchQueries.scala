@@ -191,6 +191,21 @@ object SketchQueries {
           .orderBy("lang")
       }),
 
+    // ---- Training-data selection: seeded stratified sampling (non-oracle —
+    // Bernoulli draw is engine-internal; determinism across runs and
+    // per-class bounds asserted in SamplingSpec) ----
+    QueryDef(
+      "q70_stratified_sample",
+      (s, dir) => {
+        val fractions = Map("click" -> 0.1, "error" -> 0.1, "purchase" -> 0.5,
+          "signup" -> 0.5, "view" -> 0.1)
+        Tables.events(s, dir)
+          .stat.sampleBy("event_type", fractions, 42L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("sampled"), countDistinct(col("user_id")).as("users"))
+          .orderBy("event_type")
+      }),
+
     // ---- K1: scalar UDF exhibit with a mirrored SQL oracle ----
     QueryDef(
       "q54_udf_vowel_density",
