@@ -106,6 +106,34 @@ object VectorQueries {
         ORDER BY q_id, rank
       """.stripMargin.trim)),
 
+    // ---- I5 via the custom whole-operator plan: KnnJoin logical node →
+    // KnnStrategy → KnnJoinExec (broadcast queries, per-partition bounded
+    // heaps — no |Q|×|C| intermediate). Must equal q44 bit-for-bit, so it
+    // shares q44's oracle shape. ----
+    QueryDef(
+      "q71_knn_operator",
+      (s, dir) => {
+        val v = vecs(s, dir)
+        val q = v.filter(col("vec_id") < 20).select("vec_id", "e", "nrm")
+        val c = v.select("vec_id", "e", "nrm")
+        graft.plans.Knn.topK(s, q, c, 5)
+          .select(col("q_id"), col("rank"), col("nb_id"),
+            col("cos").cast("decimal(18,9)").as("cos_sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+        WITH t AS ($oracleVecs)
+        SELECT a.vec_id AS q_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY $oracleDotAB / (a.nrm * b.nrm) DESC, b.vec_id)
+                 AS INT) AS rank,
+               b.vec_id AS nb_id,
+               CAST($oracleDotAB / (a.nrm * b.nrm) AS DECIMAL(18,9)) AS cos_sim
+        FROM t a JOIN t b ON a.vec_id < 20 AND a.vec_id <> b.vec_id
+        QUALIFY rank <= 5
+        ORDER BY q_id, rank
+      """.stripMargin.trim)),
+
     // ---- I10: multimodal join (text + vector + metadata in one row) ----
     QueryDef(
       "q45_multimodal_join",
