@@ -59,7 +59,7 @@ object SketchQueries {
       "q50_minhash_lsh",
       (s, dir) =>
         MinHash.nearDupPairs(docToks(s, dir), "doc_id", "toks",
-            numHashes = 64, numBands = 16, threshold = 0.8)
+            numHashes = 96, numBands = 16, threshold = 0.8)
           .withColumn("jac", col("jac").cast("decimal(9,6)"))
           .orderBy("d1", "d2")),
 

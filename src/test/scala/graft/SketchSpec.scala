@@ -27,11 +27,12 @@ class SketchSpec extends AnyFunSuite {
   }
 
   test("I2: MinHash/LSH near-dup pairs have perfect precision and high recall") {
-    val lsh = MinHash.nearDupPairs(toks, "doc_id", "toks", 64, 16, 0.8)
+    val lsh = MinHash.nearDupPairs(toks, "doc_id", "toks", 96, 16, 0.8)
       .select("d1", "d2").cache()
     // Precision 1.0 by construction (exact-Jaccard confirm step):
     assert(lsh.exceptAll(exactPairs(0.8)).isEmpty)
-    // Recall: banding S-curve ⇒ ≥99% of true pairs at j≥0.8 survive.
+    // Recall: 16 bands × 6 rows ⇒ P(candidate | j=0.8) ≈ 0.992 per the
+    // S-curve, and most true pairs sit well above 0.8 — measured ≥ 0.99.
     val exact = exactPairs(0.8).cache()
     val nExact = exact.count().toDouble
     val nFound = exact.intersect(lsh).count().toDouble
