@@ -25,7 +25,8 @@ object Registry {
       operators.VectorQueries.defs ++
       operators.ServingQueries.defs ++
       operators.SketchQueries.defs ++
-      operators.AnalyticsQueries.defs
+      operators.AnalyticsQueries.defs ++
+      operators.SketchJoinQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
