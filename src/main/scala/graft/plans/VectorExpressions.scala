@@ -95,10 +95,13 @@ object VectorFunctions {
   * same functions as [[VectorFunctions.register]] without touching internal
   * session state at query time. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => KnnStrategy)
+    ext.injectOptimizerRule(_ => KnnFilterPushdown)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
 }
