@@ -270,6 +270,110 @@ object AnalyticsQueries {
         SELECT c_mktsegment, 'nations', nations FROM wide
         ORDER BY c_mktsegment, metric
       """.stripMargin.trim))
+  ) ++ extraDefs
+
+  private lazy val extraDefs: Seq[QueryDef] = Seq(
+    // ---- TPC-H Q14 shape: promo revenue share (conditional agg ratio;
+    // double division of exact decimal sums → engine-identical) ----
+    QueryDef(
+      "q75_promo_revenue_share",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .withColumn("rev", dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))
+          .withColumn("yr", year(col("l_shipdate")).cast("long"))
+          .groupBy("yr")
+          .agg(
+            out6(sum(when(col("p_type").startsWith("PROMO"), col("rev"))
+              .otherwise(lit(0).cast("decimal(18,4)")))).as("promo_rev"),
+            out6(sum(col("rev"))).as("total_rev"))
+          .withColumn("promo_share",
+            (col("promo_rev").cast("double") / col("total_rev").cast("double"))
+              .cast("decimal(18,9)"))
+          .select("yr", "promo_rev", "total_rev", "promo_share")
+          .orderBy("yr")
+      },
+      Some("""
+        WITH r AS (
+          SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, p_type,
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4))) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        agg AS (
+          SELECT yr,
+                 CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS promo_rev,
+                 CAST(SUM(rev) AS DECIMAL(38,6)) AS total_rev
+          FROM r GROUP BY yr
+        )
+        SELECT yr, promo_rev, total_rev,
+               CAST(CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                    AS DECIMAL(18,9)) AS promo_share
+        FROM agg ORDER BY yr
+      """.stripMargin.trim)),
+
+    // ---- TPC-H Q19 shape: disjunctive multi-attribute predicates ----
+    QueryDef(
+      "q76_disjunctive_predicates",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+              (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+                col("l_quantity").between(10, 35)) ||
+              (col("p_type").startsWith("ECONOMY") && col("l_quantity") >= 40))
+          .agg(
+            out6(sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_type LIKE 'ECONOMY%' AND l_quantity >= 40)
+      """.stripMargin.trim)),
+
+    // ---- Above-group-average filter via window (decorrelated Q22 shape) ----
+    QueryDef(
+      "q77_above_average_customers",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))
+        c.withColumn("seg_sum", sum(dec2(col("c_acctbal"))).over(w))
+          .withColumn("seg_n", count(lit(1)).over(w))
+          .withColumn("seg_avg", col("seg_sum").cast("double") / col("seg_n"))
+          .filter(col("c_acctbal") > col("seg_avg"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            dec2(col("c_acctbal")).as("bal"),
+            col("seg_avg").cast("decimal(18,6)").as("seg_avg"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               CAST(seg_avg AS DECIMAL(18,6)) AS seg_avg
+        FROM (
+          SELECT *,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS seg_avg
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment)
+        )
+        WHERE c_acctbal > seg_avg
+        ORDER BY c_custkey
+      """.stripMargin.trim))
   )
 
   /** Valid in both Spark SQL and DuckDB: correlated scalar subquery with an
