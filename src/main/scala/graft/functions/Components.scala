@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the dedup
+  * end-game: near-dup PAIRS become CLUSTERS, and each cluster elects a
+  * canonical representative (its minimum id) so a pipeline can keep exactly
+  * one member.
+  *
+  * Each iteration is one shuffle (edges ⋈ labels → per-vertex neighbor min);
+  * iteration count is the component diameter, which for near-dup clusters
+  * (dense, clique-like) is 1-3. The driver-side convergence loop is the
+  * standard Pregel shape; at 100 TB each iteration stays a single
+  * well-partitioned join keyed by vertex id. */
+object Components {
+
+  /** vertices: (id) — one row per vertex; edges: (src, dst) undirected
+    * pairs. Returns (id, rep) with rep = min id in the component. */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // Materialize the (possibly expensive) edge pipeline ONCE — the loop
+    // re-reads it every iteration.
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    und.count()
+    // localCheckpoint per iteration truncates lineage AND the logical plan —
+    // without it every iteration nests the previous plan and analysis time
+    // grows exponentially (the classic iterative-DataFrame trap).
+    var labels = vertices.select(col("id"), col("id").as("rep"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und.join(labels.withColumnRenamed("id", "dst2"),
+          und("dst") === col("dst2"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("rep")).as("nbr_rep"))
+      val step = labels.join(nbrMin, labels("id") === col("id2"), "left")
+        .select(col("id"), col("rep").as("old_rep"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = step.filter(col("rep") =!= col("old_rep")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] iter=$i changed=$changed")
+      labels = step.select("id", "rep")
+      converged = changed == 0
+      i += 1
+    }
+    und.unpersist()
+    labels
+  }
+}

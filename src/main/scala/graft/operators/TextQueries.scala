@@ -36,6 +36,38 @@ object TextQueries {
   private def docToks(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
 
+  /** Exact Jaccard > 0.8 doc pairs via the distinct-set bitmask plan (q33);
+    * also the edge set for near-dup clustering (q78). Corpus vocabulary is
+    * tiny (31 words, FIXTURES.md) → one 64-bit mask; the single-partition
+    * window is safe on a ≤64-row vocab. */
+  private def exactNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val tok = docToks(s, dir).select(col("doc_id"), explode(col("toks")).as("tok"))
+    val vocab = tok.select("tok").distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
+    val masks = tok.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    val sets = masks.select("mask").distinct()
+    val pairs = sets.select(col("mask").as("m1"))
+      .crossJoin(sets.select(col("mask").as("m2")))
+      .filter(col("m1") < col("m2"))
+      .withColumn("inter", expr("bit_count(m1 & m2)"))
+      .withColumn("uni", expr("bit_count(m1 | m2)"))
+      .filter(col("inter") / col("uni") > 0.8)
+    val inter = pairs
+      .join(masks.select(col("doc_id").as("da"), col("mask").as("m1")), "m1")
+      .join(masks.select(col("doc_id").as("db"), col("mask").as("m2")), "m2")
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        (col("inter") / col("uni")).cast("decimal(9,6)").as("jac"))
+    val intra = masks.select(col("doc_id").as("da"), col("mask"))
+      .join(masks.select(col("doc_id").as("db"), col("mask")), "mask")
+      .filter(col("da") < col("db"))
+      .select(col("da").as("d1"), col("db").as("d2"),
+        lit(1.0).cast("decimal(9,6)").as("jac"))
+    inter.unionAll(intra)
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     // ---- H1: string function battery over part ----
     QueryDef(
@@ -145,35 +177,7 @@ object TextQueries {
     // Exact — no LSH false negatives — yet never materializes doc×doc. ----
     QueryDef(
       "q33_neardup_pairs",
-      (s, dir) => {
-        val tok = docToks(s, dir).select(col("doc_id"), explode(col("toks")).as("tok"))
-        // Corpus vocabulary is tiny (31 words, FIXTURES.md) → one 64-bit mask.
-        // Single-partition window is safe on a ≤64-row vocab.
-        val vocab = tok.select("tok").distinct()
-          .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
-        val masks = tok.join(broadcast(vocab), "tok")
-          .groupBy("doc_id")
-          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
-        val sets = masks.select("mask").distinct()
-        val pairs = sets.select(col("mask").as("m1"))
-          .crossJoin(sets.select(col("mask").as("m2")))
-          .filter(col("m1") < col("m2"))
-          .withColumn("inter", expr("bit_count(m1 & m2)"))
-          .withColumn("uni", expr("bit_count(m1 | m2)"))
-          .filter(col("inter") / col("uni") > 0.8)
-        val inter = pairs
-          .join(masks.select(col("doc_id").as("da"), col("mask").as("m1")), "m1")
-          .join(masks.select(col("doc_id").as("db"), col("mask").as("m2")), "m2")
-          .select(least(col("da"), col("db")).as("d1"),
-            greatest(col("da"), col("db")).as("d2"),
-            (col("inter") / col("uni")).cast("decimal(9,6)").as("jac"))
-        val intra = masks.select(col("doc_id").as("da"), col("mask"))
-          .join(masks.select(col("doc_id").as("db"), col("mask")), "mask")
-          .filter(col("da") < col("db"))
-          .select(col("da").as("d1"), col("db").as("d2"),
-            lit(1.0).cast("decimal(9,6)").as("jac"))
-        inter.unionAll(intra).orderBy("d1", "d2")
-      },
+      (s, dir) => exactNearDupPairs(s, dir).orderBy("d1", "d2"),
       Some("""
         WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                    FROM documents)
@@ -420,6 +424,49 @@ object TextQueries {
                CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
                regexp_extract(text, '^[a-z]+') AS first_word
         FROM documents ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- Near-dup CLUSTER assignment (the dedup end-game): connected
+    // components over the exact Jaccard>0.8 pair graph; each doc gets its
+    // cluster's canonical representative (min doc_id) + cluster size. The
+    // Spark side is Pregel-style min-label propagation (Components);
+    // the oracle is a recursive-CTE transitive closure. ----
+    QueryDef(
+      "q78_dedup_clusters",
+      (s, dir) => {
+        val edges = exactNearDupPairs(s, dir)
+          .select(col("d1").as("src"), col("d2").as("dst"))
+        val verts = docs(s, dir).select(col("doc_id").as("id"))
+        graft.functions.Components.connectedComponents(verts, edges)
+          .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(a.toks || b.toks)) > 0.8
+        ),
+        edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+          SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
+        )
+        SELECT doc_id, cluster_rep,
+               COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+        FROM comp
+        ORDER BY doc_id
       """.stripMargin.trim)),
 
     // ---- Dictionary-based language-ID heuristic → confusion matrix ----
