@@ -40,7 +40,8 @@ object TextQueries {
     * also the edge set for near-dup clustering (q78). Corpus vocabulary is
     * tiny (31 words, FIXTURES.md) → one 64-bit mask; the single-partition
     * window is safe on a ≤64-row vocab. */
-  private def exactNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  /** (doc→mask assignments, set-level mask pairs with Jaccard > 0.8). */
+  private def maskPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tok = docToks(s, dir).select(col("doc_id"), explode(col("toks")).as("tok"))
     val vocab = tok.select("tok").distinct()
       .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
@@ -54,6 +55,11 @@ object TextQueries {
       .withColumn("inter", expr("bit_count(m1 & m2)"))
       .withColumn("uni", expr("bit_count(m1 | m2)"))
       .filter(col("inter") / col("uni") > 0.8)
+    (masks, pairs)
+  }
+
+  private def exactNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val (masks, pairs) = maskPairs(s, dir)
     val inter = pairs
       .join(masks.select(col("doc_id").as("da"), col("mask").as("m1")), "m1")
       .join(masks.select(col("doc_id").as("db"), col("mask").as("m2")), "m2")
@@ -434,11 +440,21 @@ object TextQueries {
     QueryDef(
       "q78_dedup_clusters",
       (s, dir) => {
-        val edges = exactNearDupPairs(s, dir)
-          .select(col("d1").as("src"), col("d2").as("dst"))
-        val verts = docs(s, dir).select(col("doc_id").as("id"))
-        graft.functions.Components.connectedComponents(verts, edges)
-          .select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+        // Cluster the distinct-SET graph (identical components, ~4× fewer
+        // edges than the doc-expanded pair list), then map docs through
+        // their set's representative. Set rep = min(doc_id) of the set, so
+        // the component rep is still the min doc id of the whole cluster.
+        val (masks, pairs) = maskPairs(s, dir)
+        val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
+        val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
+        val edges = pairs
+          .join(setRep.select(col("mask").as("m1"), col("srep").as("src")), "m1")
+          .join(setRep.select(col("mask").as("m2"), col("srep").as("dst")), "m2")
+          .select("src", "dst")
+        val verts = setRep.select(col("srep").as("id"))
+        val comp = graft.functions.Components.connectedComponents(verts, edges)
+        docSet.join(comp, docSet("srep") === comp("id"))
+          .select(col("doc_id"), col("rep").as("cluster_rep"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
           .orderBy("doc_id")
