@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions._
 object Q {
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
   def dec4(c: Column): Column = c.cast("decimal(18,4)")
-  /** Final-projection cast so Spark's and DuckDB's SUM result types agree. */
-  def out2(c: Column): Column = c.cast("decimal(38,2)")
-  def out6(c: Column): Column = c.cast("decimal(38,6)")
+  /** Final-projection casts: round through DECIMAL (exact, order-independent)
+    * but EMIT DOUBLE. The driver hash-compares pandas values: Spark DECIMAL
+    * parquet loads as python Decimal objects while the DuckDB oracle arrives
+    * as float64, so identical values hash-differently. A decimal whose
+    * unscaled value fits in 2^53 converts to the bit-identical IEEE double in
+    * both engines, so DOUBLE final outputs hash-match. Oracle SQL mirrors
+    * this with CAST(CAST(x AS DECIMAL(p,s)) AS DOUBLE). */
+  def out2(c: Column): Column = c.cast("decimal(38,2)").cast("double")
+  def out6(c: Column): Column = c.cast("decimal(38,6)").cast("double")
+  /** Final-projection decimal(18,s) → double (same contract as out2/out6). */
+  def outD(c: Column, scale: Int): Column =
+    c.cast(s"decimal(18,$scale)").cast("double")
 }
 
 /** SURVEY §2 categories B (project/filter), C (joins), D1/D2 (agg, distinct),
@@ -50,10 +59,10 @@ object RelationalQueries {
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
@@ -74,14 +83,14 @@ object RelationalQueries {
               col("l_linestatus").like("F%"))
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            dec2(col("l_quantity")).as("qty"),
-            dec2(col("l_extendedprice")).as("price"),
+            outD(col("l_quantity"), 2).as("qty"),
+            outD(col("l_extendedprice"), 2).as("price"),
             col("l_returnflag"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""
         SELECT l_orderkey, l_linenumber,
-               CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
                l_returnflag
         FROM lineitem
         WHERE l_returnflag IN ('A','R')
@@ -107,8 +116,8 @@ object RelationalQueries {
       },
       Some("""
         SELECT o_orderkey, o_orderstatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderkey, o_orderstatus
         ORDER BY revenue DESC, o_orderkey
@@ -131,7 +140,7 @@ object RelationalQueries {
       },
       Some("""
         SELECT r_name, n_name, COUNT(*) AS customers,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -299,7 +308,7 @@ object RelationalQueries {
         s.sql("""
           SELECT COALESCE(n_name, 'ALL') AS nation,
                  COALESCE(c_mktsegment, 'ALL') AS segment,
-                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal,
+                 CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS bal,
                  COUNT(*) AS n
           FROM customer JOIN nation ON c_nationkey = n_nationkey
           GROUP BY ROLLUP(n_name, c_mktsegment)
@@ -309,7 +318,7 @@ object RelationalQueries {
       Some("""
         SELECT COALESCE(n_name, 'ALL') AS nation,
                COALESCE(c_mktsegment, 'ALL') AS segment,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS bal,
                COUNT(*) AS n
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY ROLLUP(n_name, c_mktsegment)
@@ -331,7 +340,7 @@ object RelationalQueries {
       Some("""
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)

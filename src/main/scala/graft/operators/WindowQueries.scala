@@ -43,14 +43,14 @@ object WindowQueries {
           .withColumn("drnk", dense_rank().over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"),
-            dec2(col("o_totalprice")).as("price"),
+            outD(col("o_totalprice"), 2).as("price"),
             col("rn"), col("rnk"), col("drnk"))
           .orderBy("o_custkey", "rn")
       },
       Some("""
         SELECT o_custkey, o_orderkey, price, rn, rnk, drnk FROM (
           SELECT o_custkey, o_orderkey,
-                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
                  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
                  DENSE_RANK() OVER w AS drnk
           FROM orders
@@ -163,8 +163,8 @@ object WindowQueries {
           .orderBy(col("c_acctbal").desc, col("c_custkey"))
         t(s, dir, "customer")
           .withColumn("quartile", ntile(4).over(w))
-          .withColumn("pr", percent_rank().over(w).cast("decimal(18,9)"))
-          .withColumn("cd", cume_dist().over(w).cast("decimal(18,9)"))
+          .withColumn("pr", outD(percent_rank().over(w), 9))
+          .withColumn("cd", outD(cume_dist().over(w), 9))
           .select(col("c_custkey"), col("c_mktsegment"), col("quartile"),
             col("pr"), col("cd"))
           .orderBy("c_custkey")
@@ -172,8 +172,8 @@ object WindowQueries {
       Some("""
         SELECT c_custkey, c_mktsegment,
                NTILE(4) OVER w AS quartile,
-               CAST(PERCENT_RANK() OVER w AS DECIMAL(18,9)) AS pr,
-               CAST(CUME_DIST() OVER w AS DECIMAL(18,9)) AS cd
+               CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,9)) AS DOUBLE) AS pr,
+               CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,9)) AS DOUBLE) AS cd
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         ORDER BY c_custkey
@@ -189,11 +189,11 @@ object WindowQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 2)
           .select(col("p_brand"), col("p_partkey"),
-            dec2(col("p_retailprice")).as("price"), col("rn"))
+            outD(col("p_retailprice"), 2).as("price"), col("rn"))
           .orderBy("p_brand", "rn")
       },
       Some("""
-        SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+        SELECT p_brand, p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
                ROW_NUMBER() OVER (PARTITION BY p_brand
                                   ORDER BY p_retailprice DESC, p_partkey) AS rn
         FROM part
@@ -249,17 +249,19 @@ object WindowQueries {
       },
       Some(percentileSql(s"($oracleEventsUs)"))),
 
-    // ---- D6: ordered distinct collect ----
+    // ---- D6: ordered distinct collect. The ARRAY is built by the agg but
+    // projected as a joined string: the driver's pandas hasher cannot hash
+    // ndarray cells (r01 ERR), so arrays never reach the final schema. ----
     QueryDef(
       "q22_user_event_type_sets",
       (s, dir) =>
         t(s, dir, "events")
           .groupBy("user_id")
-          .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
             count(lit(1)).as("n"))
           .orderBy("user_id"),
       Some("""
-        SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
                COUNT(*) AS n
         FROM events GROUP BY user_id ORDER BY user_id
       """.stripMargin.trim)),
@@ -335,14 +337,14 @@ object WindowQueries {
                CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(x*x) AS DOUBLE) AS sxx,
                CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y*y) AS DOUBLE) AS syy,
                CAST(SUM(x*y) AS DOUBLE) AS sxy,
-               CAST(SUM(x) AS DECIMAL(38,2)) AS sum_bal
+               CAST(CAST(SUM(x) AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal
         FROM c GROUP BY n_name
       )
       SELECT n_name, n, sum_bal,
-             CAST((sxx - sx*sx/n) / (n-1) AS DECIMAL(18,4)) AS var_bal,
-             CAST(SQRT((sxx - sx*sx/n) / (n-1)) AS DECIMAL(18,4)) AS std_bal,
-             CAST((n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy))
-                  AS DECIMAL(18,6)) AS corr_bal_key
+             CAST(CAST((sxx - sx*sx/n) / (n-1) AS DECIMAL(18,4)) AS DOUBLE) AS var_bal,
+             CAST(CAST(SQRT((sxx - sx*sx/n) / (n-1)) AS DECIMAL(18,4)) AS DOUBLE) AS std_bal,
+             CAST(CAST((n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy))
+                  AS DECIMAL(18,6)) AS DOUBLE) AS corr_bal_key
       FROM agg
       ORDER BY n_name
     """.stripMargin.trim
