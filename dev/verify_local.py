@@ -1,71 +1,166 @@
 #!/usr/bin/env python3
-"""Local pre-check mimicking the driver's t2 DuckDB-oracle compare.
+"""Driver-faithful local pre-check of the DuckDB-oracle compare.
 
-Usage: python3 dev/verify_local.py [sfDir] [outDir]
+Usage: python3 dev/verify_local.py [sfDir] [outDir] [--only q30,q33]
 
-Reads outDir/oracle_sql.json (written by graft.Verify), runs each SQL in
-DuckDB against views over sfDir's parquet tables, and compares against the
-Spark-written parquet in outDir/<name>/ — columns sorted by name, rows in
-order, exact value equality (plus a string-repr warning for decimals).
+Mimics the driver's checker *representation-for-representation*:
+  - Spark side:  pandas.read_parquet over outDir/<name>/ (pyarrow) —
+    DECIMAL columns arrive as dtype object (Python Decimal), arrays as
+    numpy.ndarray (which CRASH sort_values, like the driver's checker).
+  - Oracle side: duckdb con.execute(sql).df() — DECIMAL arrives float64.
+Columns sorted by name, rows sorted by all columns, then exact
+cell-by-cell equality (NaN==NaN allowed). A hash of the sorted frame is
+what the driver compares; exact per-cell equality is strictly stronger.
+
+The round-1 lesson: the old version of this script read BOTH sides
+through DuckDB, which normalized types the driver does not normalize —
+so 34 locally-"green" queries failed at the driver. This version fails
+exactly when the driver fails.
 """
-import duckdb, json, sys, glob, math
-from decimal import Decimal
+import duckdb, json, sys, glob, math, os, time
+import pandas as pd
+import numpy as np
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = None
+for a in sys.argv[3:]:
+    if a.startswith("--only"):
+        only = set(a.split("=", 1)[1].split(",")) if "=" in a else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
-import os, time
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 age = time.time() - os.path.getmtime(f"{out}/oracle_sql.json")
 if age > 600:
     print(f"WARNING: oracle_sql.json is {age/60:.0f} min old — stale run?")
 outdirs = {d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}")}
 no_oracle = sorted(outdirs - set(oracle))
-if no_oracle:
-    print(f"note: {len(no_oracle)} non-oracle outputs (rows-only check): {no_oracle}")
+
+def load_spark(name):
+    files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    # Driver does sort_values over all columns; unhashable cells (ndarray)
+    # raise here exactly like the driver's ERR rows.
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+import datetime
+from decimal import Decimal
+
+def normalize(exp, got):
+    """Apply the representation tolerances CORRECTNESS_r02 PROVED the driver
+    has (green rows with exactly these dtype splits):
+      - int32 vs int64 (q13/q18/q19 green)  -> width-insensitive
+      - datetime.date objects vs datetime64 (q26/q48/q57 green) -> unify
+    Everything else stays strict; Decimal-object and ndarray cells remain
+    driver-killers and are flagged by the caller."""
+    for c in exp.columns:
+        for df in (exp, got):
+            if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], datetime.date) \
+               and not isinstance(df[c].iloc[0], datetime.datetime):
+                df[c] = pd.to_datetime(df[c])
+        if str(exp[c].dtype).startswith("datetime64") and str(got[c].dtype).startswith("datetime64"):
+            exp[c] = exp[c].astype("datetime64[us]")
+            got[c] = got[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(exp[c].dtype) and pd.api.types.is_integer_dtype(got[c].dtype):
+            exp[c] = exp[c].astype("int64")
+            got[c] = got[c].astype("int64")
+    return exp, got
+
+def driver_killers(got):
+    """Columns whose Spark-side representation is proven to break the
+    driver: python Decimal objects (hash mismatch) or ndarray cells (ERR)."""
+    bad = []
+    for c in got.columns:
+        if got[c].dtype == object and len(got):
+            v = got[c].iloc[0]
+            if isinstance(v, Decimal):
+                bad.append((c, "Decimal"))
+            elif isinstance(v, np.ndarray):
+                bad.append((c, "ndarray"))
+    return bad
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    eq = a == b
+    if isinstance(eq, np.ndarray):
+        return bool(eq.all()) and len(np.atleast_1d(a)) == len(np.atleast_1d(b))
+    return bool(eq)
+
 fail = 0
-for name in sorted(oracle):
+names = sorted(oracle) if only is None else sorted(set(oracle) & only)
+# Rows-only check for non-oracle outputs (mimic the driver's weaker path):
+for name in no_oracle:
+    if only is not None and name not in only:
+        continue
+    try:
+        df = load_spark(name)
+        canon(df)  # must not crash (arrays in output would)
+        print(f"ok   {name}: rows-only, {len(df)} rows")
+    except Exception as e:
+        print(f"ERROR {name}: (rows-only) {type(e).__name__}: {e}")
+        fail += 1
+for name in names:
     sql = oracle[name]
     try:
-        cur = con.execute(sql)
-        expcols = [d[0] for d in cur.description]
-        exp = cur.fetchall()
-        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
-        if not files:
+        exp = con.execute(sql).df()
+        got = load_spark(name)
+        if got is None:
             print(f"FAIL {name}: no spark output"); fail += 1; continue
-        cur2 = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        gotcols = [d[0] for d in cur2.description]
-        got = cur2.fetchall()
-        if sorted(expcols) != sorted(gotcols):
-            print(f"FAIL {name}: cols spark={sorted(gotcols)} oracle={sorted(expcols)}")
+        if sorted(exp.columns) != sorted(got.columns):
+            print(f"FAIL {name}: cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
             fail += 1; continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             fail += 1; continue
-        ei = sorted(range(len(expcols)), key=lambda i: expcols[i])
-        gi = sorted(range(len(gotcols)), key=lambda i: gotcols[i])
+        exp, got = canon(exp), canon(got)
+        killers = driver_killers(got)
+        if killers:
+            print(f"FAIL {name}: driver-killer spark dtypes: {killers}")
+            fail += 1; continue
+        exp, got = normalize(exp, got)
+        dt_mismatch = [(c, str(got[c].dtype), str(exp[c].dtype))
+                       for c in exp.columns if str(got[c].dtype) != str(exp[c].dtype)]
         bad = None
-        for r, (er, gr) in enumerate(zip(exp, got)):
-            for i, j in zip(ei, gi):
-                a, b = er[i], gr[j]
-                eq = (a == b) or (
-                    isinstance(a, float) and isinstance(b, float)
-                    and math.isnan(a) and math.isnan(b))
-                if not eq:
-                    bad = (r, expcols[i], a, b); break
-                if isinstance(a, Decimal) and isinstance(b, Decimal) and str(a) != str(b):
-                    print(f"warn {name}: row {r} col {expcols[i]} decimal-repr-differs spark={b} oracle={a}")
-            if bad: break
+        ncols = len(exp.columns)
+        ev, gv = exp.to_numpy(dtype=object), got.to_numpy(dtype=object)
+        for r in range(len(ev)):
+            for c in range(ncols):
+                if not cells_equal(ev[r, c], gv[r, c]):
+                    bad = (r, exp.columns[c], ev[r, c], gv[r, c]); break
+            if bad:
+                break
         if bad:
-            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[3]!r} oracle={bad[2]!r}")
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[3]!r} ({type(bad[3]).__name__}) oracle={bad[2]!r} ({type(bad[2]).__name__})")
+            if dt_mismatch:
+                print(f"     dtypes differ: {dt_mismatch}")
             fail += 1
+        elif dt_mismatch:
+            # Unproven-tolerance dtype split (not one of the r02-green kinds):
+            # surface loudly but don't gate — the value compare above passed.
+            print(f"warn {name}: values equal, unproven dtype split: {dt_mismatch}")
         else:
             print(f"ok   {name}: {len(got)} rows")
     except Exception as e:
-        print(f"ERROR {name}: {e}"); fail += 1
-print("RESULT:", "FAIL" if fail else "PASS", f"({len(oracle)} queries, {fail} failures)")
+        print(f"ERROR {name}: {type(e).__name__}: {e}"); fail += 1
+print("RESULT:", "FAIL" if fail else "PASS",
+      f"({len(names)} oracled + {len(no_oracle)} rows-only, {fail} failures)")
 sys.exit(1 if fail else 0)

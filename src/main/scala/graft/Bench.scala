@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...}
+  *
+  * `value` is the wall-clock sum over ALL declared queries. The inline
+  * "queries" map carries only the 15 slowest (3-decimal seconds) so the
+  * whole line stays well under 1 KB — rounds 1-2 proved that a full
+  * 79-entry map (~2.7 KB) overflows the driver's tail capture and the line
+  * arrives unparseable. Full per-query times go to bench_detail.json next
+  * to the repo root (same schema, all queries).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,22 +21,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed JIT/codegen warm-up: execute one small query so the first
-    // timed entry doesn't absorb JVM class-loading + Janino compilation of
-    // the shared scan/aggregate machinery (standard benchmark practice;
-    // per-query codegen still compiles inside each timed section).
-    try SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      fn(spark, "/root/testdata/sf0.001").count()
+    // Untimed JIT/codegen warm-up on a FIXED small query (deterministic —
+    // Map hash order made round-1 warm-up arbitrary), then one sf-dir scan
+    // warm-up so the first timed query doesn't absorb file-listing costs.
+    try {
+      SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic execution order (sorted by name) so per-query times are
+    // comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val slowest = results.sortBy(-_._2).take(15)
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
+      w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,7 +140,7 @@ object AnalyticsQueries {
         big.join(o, big("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
-            dec2(col("o_totalprice")).as("price"), col("total_qty"))
+            outD(col("o_totalprice"), 2).as("price"), col("total_qty"))
           .orderBy(col("total_qty").desc, col("o_orderkey"))
       },
       Some("""
@@ -151,7 +151,7 @@ object AnalyticsQueries {
           HAVING total_qty > 220
         )
         SELECT o_orderkey, c_custkey, c_name,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price, total_qty
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, total_qty
         FROM big JOIN orders ON l_orderkey = o_orderkey
                  JOIN customer ON o_custkey = c_custkey
         ORDER BY total_qty DESC, o_orderkey
@@ -291,7 +291,7 @@ object AnalyticsQueries {
             out6(sum(col("rev"))).as("total_rev"))
           .withColumn("promo_share",
             (col("promo_rev").cast("double") / col("total_rev").cast("double"))
-              .cast("decimal(18,9)"))
+              .cast("decimal(18,9)").cast("double"))
           .select("yr", "promo_rev", "total_rev", "promo_share")
           .orderBy("yr")
       },
@@ -356,14 +356,14 @@ object AnalyticsQueries {
           .withColumn("seg_avg", col("seg_sum").cast("double") / col("seg_n"))
           .filter(col("c_acctbal") > col("seg_avg"))
           .select(col("c_custkey"), col("c_mktsegment"),
-            dec2(col("c_acctbal")).as("bal"),
-            col("seg_avg").cast("decimal(18,6)").as("seg_avg"))
+            outD(col("c_acctbal"), 2).as("bal"),
+            col("seg_avg").cast("decimal(18,6)").cast("double").as("seg_avg"))
           .orderBy("c_custkey")
       },
       Some("""
         SELECT c_custkey, c_mktsegment,
-               CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
-               CAST(seg_avg AS DECIMAL(18,6)) AS seg_avg
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+               CAST(CAST(seg_avg AS DECIMAL(18,6)) AS DOUBLE) AS seg_avg
         FROM (
           SELECT *,
                  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)
@@ -380,7 +380,7 @@ object AnalyticsQueries {
     * exact-decimal-derived average (no engine-variant floats). */
   private val aboveBrandAvgSql: String =
     """
-      SELECT p_partkey, p_brand, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      SELECT p_partkey, p_brand, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price
       FROM part p
       WHERE p_retailprice >
         (SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)

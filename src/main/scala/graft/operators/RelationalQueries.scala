@@ -345,6 +345,27 @@ object RelationalQueries {
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY returnflag, linestatus
+      """.stripMargin.trim)),
+
+    // ---- F2: LIMIT + OFFSET paging over a global sort. At scale OFFSET is a
+    // driver-side skip over an already-limited sorted prefix (Spark plans
+    // GlobalLimit(Offset(Sort))) — fine for paging-sized offsets; deep
+    // pagination should keyset-paginate on (c_custkey > last_seen) instead. ----
+    QueryDef(
+      "q79_limit_offset",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            outD(col("c_acctbal"), 2).as("bal"))
+          .orderBy(col("c_custkey"))
+          .offset(40)
+          .limit(25),
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 25 OFFSET 40
       """.stripMargin.trim))
   )
 }

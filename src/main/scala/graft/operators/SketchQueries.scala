@@ -60,7 +60,7 @@ object SketchQueries {
       (s, dir) =>
         MinHash.nearDupPairs(docToks(s, dir), "doc_id", "toks",
             numHashes = 96, numBands = 16, threshold = 0.8)
-          .withColumn("jac", col("jac").cast("decimal(9,6)"))
+          .withColumn("jac", col("jac").cast("decimal(9,6)").cast("double"))
           .orderBy("d1", "d2")),
 
     // ---- SimHash near-dup via banding (non-oracle; properties unit-tested).
@@ -153,7 +153,7 @@ object SketchQueries {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("nb_id"),
-            col("cos").cast("decimal(18,9)").as("cos_sim"))
+            col("cos").cast("decimal(18,9)").cast("double").as("cos_sim"))
           .orderBy("q_id", "rank")
       }),
 
@@ -186,8 +186,11 @@ object SketchQueries {
         Tables.read(s, dir, "documents")
           .select(col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
           .groupBy("lang")
-          .agg(mh(col("toks")).as("sig"))
-          .select(col("lang"), col("sig"))
+          .agg(mh(col("toks")).as("sig0"))
+          // ARRAY columns crash the driver's pandas sort (unhashable
+          // numpy.ndarray) — emit the signature as a joined string.
+          .select(col("lang"),
+            expr("array_join(transform(sig0, x -> CAST(x AS STRING)), ',')").as("sig"))
           .orderBy("lang")
       }),
 
@@ -215,7 +218,7 @@ object SketchQueries {
           .withColumn("n_vowels", vowels(col("text")))
           .select(col("doc_id"), col("n_vowels"),
             (col("n_vowels").cast("double") / col("n_chars"))
-              .cast("decimal(18,6)").as("vowel_density"))
+              .cast("decimal(18,6)").cast("double").as("vowel_density"))
           .orderBy("doc_id")
       },
       Some("""

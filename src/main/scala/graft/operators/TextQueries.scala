@@ -65,12 +65,12 @@ object TextQueries {
       .join(masks.select(col("doc_id").as("db"), col("mask").as("m2")), "m2")
       .select(least(col("da"), col("db")).as("d1"),
         greatest(col("da"), col("db")).as("d2"),
-        (col("inter") / col("uni")).cast("decimal(9,6)").as("jac"))
+        (col("inter") / col("uni")).cast("decimal(9,6)").cast("double").as("jac"))
     val intra = masks.select(col("doc_id").as("da"), col("mask"))
       .join(masks.select(col("doc_id").as("db"), col("mask")), "mask")
       .filter(col("da") < col("db"))
       .select(col("da").as("d1"), col("db").as("d2"),
-        lit(1.0).cast("decimal(9,6)").as("jac"))
+        lit(1.0).cast("decimal(9,6)").cast("double").as("jac"))
     inter.unionAll(intra)
   }
 
@@ -113,12 +113,12 @@ object TextQueries {
             col("l_orderkey"), col("l_linenumber"),
             ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
             floor(col("l_extendedprice")).cast("long").as("price_floor"),
-            abs(dec2(col("l_extendedprice"))).as("price_abs"),
-            round(dec2(col("l_extendedprice")), 1).cast("decimal(18,1)").as("price_round1"),
-            sqrt(col("l_quantity")).cast("decimal(18,9)").as("qty_sqrt"),
+            abs(dec2(col("l_extendedprice"))).cast("double").as("price_abs"),
+            round(dec2(col("l_extendedprice")), 1).cast("decimal(18,1)").cast("double").as("price_round1"),
+            sqrt(col("l_quantity")).cast("decimal(18,9)").cast("double").as("qty_sqrt"),
             pow(lit(2), col("l_linenumber")).cast("long").as("pow2_line"),
             signum(col("l_discount") - 0.05).cast("long").as("disc_sign"),
-            greatest(dec4(col("l_tax")), dec4(col("l_discount"))).as("max_rate"),
+            greatest(dec4(col("l_tax")), dec4(col("l_discount"))).cast("double").as("max_rate"),
             (col("l_quantity").cast("long") % 7).as("qty_mod7"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""
@@ -208,7 +208,7 @@ object TextQueries {
             min(col("n_chars")).as("min_chars"),
             max(col("n_chars")).as("max_chars"),
             (sum(col("n_toks")).cast("double") / count(lit(1)))
-              .cast("decimal(18,6)").as("avg_toks"))
+              .cast("decimal(18,6)").cast("double").as("avg_toks"))
           .orderBy("lang", "source"),
       Some("""
         SELECT lang, source, COUNT(*) AS n_docs,
@@ -251,7 +251,7 @@ object TextQueries {
           .join(broadcast(df), "word")
           .crossJoin(broadcast(n))
           .withColumn("tfidf",
-            expr("CAST((CAST(tf_cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6))"))
+            expr("CAST(CAST((CAST(tf_cnt AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6)) AS DOUBLE)"))
           .select("doc_id", "word", "tf_cnt", "df", "tfidf")
           .orderBy("doc_id", "word")
       },
@@ -287,7 +287,8 @@ object TextQueries {
           .agg(coalesce(sum(col("score")), lit(0)).cast("long").as("sum_score"),
             count(lit(1)).as("n_tokens"))
           .withColumn("score_ratio",
-            (col("sum_score").cast("double") / col("n_tokens")).cast("decimal(18,6)"))
+            (col("sum_score").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double"))
           .orderBy("doc_id")
       },
       Some("""
@@ -336,9 +337,9 @@ object TextQueries {
             col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens"),
             size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-            expr("CAST(CAST(aggregate(transform(toks, t -> length(t)), 0, (s, x) -> s + x) AS DOUBLE) / size(toks) AS DECIMAL(18,6))")
+            expr("CAST(CAST(CAST(aggregate(transform(toks, t -> length(t)), 0, (s, x) -> s + x) AS DOUBLE) / size(toks) AS DECIMAL(18,6)) AS DOUBLE)")
               .as("mean_tok_len"),
-            expr("CAST(CAST(size(filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) / size(toks) AS DECIMAL(18,6))")
+            expr("CAST(CAST(CAST(size(filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) / size(toks) AS DECIMAL(18,6)) AS DOUBLE)")
               .as("stop_ratio"),
             expr("exists(toks, t -> t = 'spark')").as("has_spark"))
           .orderBy("doc_id"),
@@ -368,7 +369,7 @@ object TextQueries {
           .crossJoin(g.select(col("doc_id").as("d2"), col("grams").as("g2")))
           .filter(col("d1") < col("d2"))
           .select(col("d1"), col("d2"),
-            expr("CAST(CAST(size(array_intersect(g1, g2)) AS DOUBLE) / size(array_union(g1, g2)) AS DECIMAL(9,6))")
+            expr("CAST(CAST(CAST(size(array_intersect(g1, g2)) AS DOUBLE) / size(array_union(g1, g2)) AS DECIMAL(9,6)) AS DOUBLE)")
               .as("jac"))
           .orderBy("d1", "d2")
       },
@@ -444,7 +445,12 @@ object TextQueries {
         // edges than the doc-expanded pair list), then map docs through
         // their set's representative. Set rep = min(doc_id) of the set, so
         // the component rep is still the min doc id of the whole cluster.
-        val (masks, pairs) = maskPairs(s, dir)
+        // localCheckpoint both once: the crossJoin pair pipeline is the
+        // expensive part and downstream actions (edge cache, convergence
+        // loop, final join) would otherwise each recompute it.
+        val (masks0, pairs0) = maskPairs(s, dir)
+        val masks = masks0.localCheckpoint()
+        val pairs = pairs0.localCheckpoint()
         val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
         val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
         val edges = pairs

@@ -63,7 +63,7 @@ object VectorQueries {
           .withColumn("cos", expr(s"$dotAB / (anrm * bnrm)"))
           .filter(col("cos") > 0.30)
           .select(col("va"), col("vb"), col("label"),
-            col("cos").cast("decimal(18,9)").as("cos_sim"))
+            col("cos").cast("decimal(18,9)").cast("double").as("cos_sim"))
           .orderBy("va", "vb")
       },
       Some(s"""
@@ -90,7 +90,7 @@ object VectorQueries {
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("rank"), col("nb_id"),
-            col("cos").cast("decimal(18,9)").as("cos_sim"))
+            col("cos").cast("decimal(18,9)").cast("double").as("cos_sim"))
           .orderBy("q_id", "rank")
       },
       Some(s"""
@@ -118,7 +118,7 @@ object VectorQueries {
         val c = v.select("vec_id", "e", "nrm")
         graft.plans.Knn.topK(s, q, c, 5)
           .select(col("q_id"), col("rank"), col("nb_id"),
-            col("cos").cast("decimal(18,9)").as("cos_sim"))
+            col("cos").cast("decimal(18,9)").cast("double").as("cos_sim"))
           .orderBy("q_id", "rank")
       },
       Some(s"""
@@ -144,7 +144,7 @@ object VectorQueries {
         val v = vecs(s, dir)
         d.join(v, d("doc_id") === v("vec_id"))
           .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
-            col("n_toks"), col("nrm").cast("decimal(18,9)").as("l2_norm"))
+            col("n_toks"), col("nrm").cast("decimal(18,9)").cast("double").as("l2_norm"))
           .orderBy("doc_id")
       },
       Some(s"""
@@ -165,12 +165,12 @@ object VectorQueries {
           .select(
             col("vec_id"),
             size(col("embedding")).cast("long").as("dim"),
-            expr("CAST(array_max(e) AS DECIMAL(18,6))").as("max_val"),
-            expr("CAST(array_min(e) AS DECIMAL(18,6))").as("min_val"),
+            expr("CAST(CAST(array_max(e) AS DECIMAL(18,6)) AS DOUBLE)").as("max_val"),
+            expr("CAST(CAST(array_min(e) AS DECIMAL(18,6)) AS DOUBLE)").as("min_val"),
             expr("CAST(size(filter(e, x -> x > 0)) AS BIGINT)").as("n_pos"),
-            expr("CAST(aggregate(slice(e, 1, 4), CAST(0 AS DOUBLE), (s, x) -> s + x) AS DECIMAL(18,9))")
+            expr("CAST(CAST(aggregate(slice(e, 1, 4), CAST(0 AS DOUBLE), (s, x) -> s + x) AS DECIMAL(18,9)) AS DOUBLE)")
               .as("first4_sum"),
-            expr("CAST(aggregate(zip_with(e, reverse(e), (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) AS DECIMAL(18,9))")
+            expr("CAST(CAST(aggregate(zip_with(e, reverse(e), (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) AS DECIMAL(18,9)) AS DOUBLE)")
               .as("palindot"))
           .orderBy("vec_id"),
       Some("""
