@@ -20,8 +20,21 @@ object Q {
     * parquet loads as python Decimal objects while the DuckDB oracle arrives
     * as float64, so identical values hash-differently. A decimal whose
     * unscaled value fits in 2^53 converts to the bit-identical IEEE double in
-    * both engines, so DOUBLE final outputs hash-match. Oracle SQL mirrors
-    * this with CAST(CAST(x AS DECIMAL(p,s)) AS DOUBLE). */
+    * both engines, so DOUBLE final outputs hash-match.
+    *
+    * The invariant is about the SPARK side only (enforced by
+    * DriverSchemaSpec): the oracle side may keep a bare DECIMAL output
+    * because duckdb's .df() already delivers decimals as float64 — proven by
+    * the round-2 green queries whose oracles end in CAST(... AS
+    * DECIMAL(38,x)). New oracle SQL should still prefer the explicit
+    * CAST(CAST(x AS DECIMAL(p,s)) AS DOUBLE) spelling for clarity.
+    *
+    * Scale bound: exact double conversion needs the unscaled value < 2^53 —
+    * with scale 6 that is totals < ~9e9, comfortable at bench SFs but NOT at
+    * 100 TB. For production-scale runs, round monetary outputs to
+    * decimal(15,2)-class scales (unscaled < 2^53 up to ~9e13) or keep them
+    * DECIMAL end-to-end and compare decimally; the double cast exists for
+    * the driver's hash representation, not for the engine's arithmetic. */
   def out2(c: Column): Column = c.cast("decimal(38,2)").cast("double")
   def out6(c: Column): Column = c.cast("decimal(38,6)").cast("double")
   /** Final-projection decimal(18,s) → double (same contract as out2/out6). */
