@@ -26,7 +26,8 @@ object Registry {
       operators.ServingQueries.defs ++
       operators.SketchQueries.defs ++
       operators.AnalyticsQueries.defs ++
-      operators.SketchJoinQueries.defs
+      operators.SketchJoinQueries.defs ++
+      operators.CurationQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pipeline operators beyond SURVEY §2 — the
+  * operations a 100 TB pretraining-data build runs between raw scrape and
+  * tokenizer: deterministic dataset splitting, benchmark decontamination,
+  * stopword scrubbing, and the final composite keep/drop decision.
+  *
+  * Scale notes: every query here is linear in the corpus — per-doc
+  * expression pipelines, broadcast joins against tiny reference sets
+  * (holdout shingles, stop lists), and hash-partitioned aggregations. No
+  * pairwise joins anywhere (near-dup pairing lives in q33/q50/q78).
+  *
+  * Determinism: splits and fingerprints hash md5 hex strings (identical in
+  * Spark and DuckDB — proven by q38); ratios round through DECIMAL then cast
+  * DOUBLE per the Q.out* contract.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    // ---- Deterministic train/val/test split: bucket on the first hex char
+    // of md5(doc_id) → 13/16 train, 2/16 val, 1/16 test. Content-independent
+    // (survives re-crawls of the same ids), engine-identical, and
+    // embarrassingly parallel: the split column is a per-row expression, so
+    // at 100 TB it costs one codegen'd projection — no shuffle until the
+    // tiny per-split rollup. ----
+    QueryDef(
+      "q80_dataset_split",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("h1", substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+          .withColumn("split",
+            when(col("h1") <= "c", "train")
+              .when(col("h1") <= "e", "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("split"),
+      Some("""
+        WITH d AS (
+          SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1 FROM documents
+        )
+        SELECT CASE WHEN h1 <= 'c' THEN 'train'
+                    WHEN h1 <= 'e' THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM d
+        GROUP BY split
+        ORDER BY split
+      """.stripMargin.trim)),
+
+    // ---- Benchmark decontamination: flag corpus docs sharing token
+    // 3-gram shingles with a holdout set (doc_id < 5 stands in for the
+    // benchmark). Holdout shingles broadcast (benchmarks are tiny vs the
+    // corpus); the corpus side is one explode → broadcast-semi-join →
+    // groupBy, linear at 100 TB. ----
+    QueryDef(
+      "q81_decontamination",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val shingled = toks.withColumn("shingles",
+          when(size(col("toks")) >= 3,
+            expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))
+            .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+        val exploded = shingled
+          .select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+        val holdout = broadcast(
+          exploded.filter(col("doc_id") < 5).select("sh").distinct())
+        exploded.filter(col("doc_id") >= 5)
+          .join(holdout.withColumn("hit", lit(1L)), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(col("sh")).as("n_shingles"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_matched"))
+          .withColumn("overlap",
+            when(col("n_shingles") > 0,
+              (col("n_matched").cast("double") / col("n_shingles"))
+                .cast("decimal(18,6)").cast("double"))
+              .otherwise(lit(0.0)))
+          .withColumn("contaminated", col("overlap") > 0.5)
+          .select("doc_id", "n_shingles", "n_matched", "overlap", "contaminated")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [] END AS shingles
+          FROM t
+        ),
+        ex AS (
+          SELECT doc_id, u.s AS sh
+          FROM sh LEFT JOIN unnest(shingles) AS u(s) ON TRUE
+        ),
+        hold AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 5 AND sh IS NOT NULL),
+        scored AS (
+          SELECT e.doc_id,
+                 COUNT(e.sh) AS n_shingles,
+                 CAST(COALESCE(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 END), 0) AS BIGINT)
+                   AS n_matched
+          FROM ex e LEFT JOIN hold h ON e.sh = h.sh
+          WHERE e.doc_id >= 5
+          GROUP BY e.doc_id
+        )
+        SELECT doc_id, n_shingles, n_matched,
+               CASE WHEN n_shingles > 0 THEN
+                 CAST(CAST(CAST(n_matched AS DOUBLE) / n_shingles AS DECIMAL(18,6)) AS DOUBLE)
+               ELSE 0.0 END AS overlap,
+               (CASE WHEN n_shingles > 0 THEN
+                 CAST(CAST(CAST(n_matched AS DOUBLE) / n_shingles AS DECIMAL(18,6)) AS DOUBLE)
+               ELSE 0.0 END) > 0.5 AS contaminated
+        FROM scored
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- Stopword scrub (tokenizer-prep normalization): drop stopwords,
+    // emit the cleaned text + removal stats. Pure per-row higher-order
+    // expressions — linear, no shuffle before the ORDER BY. ----
+    QueryDef(
+      "q82_stopword_scrub",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("kept",
+            expr("filter(toks, t -> t NOT IN ('the', 'a', 'of', 'and', 'to', 'in'))"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+            array_join(col("kept"), " ").as("clean_text"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - len(list_filter(toks,
+                 t -> t NOT IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS BIGINT)
+                 AS n_removed,
+               array_to_string(list_filter(toks,
+                 t -> t NOT IN ('the', 'a', 'of', 'and', 'to', 'in')), ' ')
+                 AS clean_text
+        FROM t ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- Composite curation decision: quality gates + exact-dedup
+    // canonicalization in one pass. fp = md5 of the sorted distinct token
+    // set (q38's fingerprint); a doc is kept iff it passes the length/shape
+    // gates AND is its fingerprint group's canonical (min doc_id) member.
+    // The window is keyed by fp — at 100 TB that is a well-distributed
+    // shuffle, and the gates prune rows before it. ----
+    QueryDef(
+      "q83_curation_pipeline",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("mean_tok_len",
+            (col("n_chars").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double"))
+          .withColumn("fp",
+            md5(concat_ws(" ", sort_array(array_distinct(col("toks")))).cast("binary")))
+          .withColumn("canon_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+        base
+          .withColumn("reason",
+            when(col("n_tokens") < 5, "too_short")
+              .when(col("mean_tok_len") > 10, "weird_shape")
+              .when(col("doc_id") =!= col("canon_id"), "exact_dup")
+              .otherwise("ok"))
+          .withColumn("keep", col("reason") === "ok")
+          .select("doc_id", "n_tokens", "mean_tok_len", "canon_id", "reason", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, n_chars,
+                 string_split(text, ' ') AS toks,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(CAST(CAST(n_chars AS DOUBLE) / len(toks) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS mean_tok_len,
+                 MIN(doc_id) OVER (PARTITION BY fp) AS canon_id
+          FROM base
+        )
+        SELECT doc_id, n_tokens, mean_tok_len, canon_id,
+               CASE WHEN n_tokens < 5 THEN 'too_short'
+                    WHEN mean_tok_len > 10 THEN 'weird_shape'
+                    WHEN doc_id <> canon_id THEN 'exact_dup'
+                    ELSE 'ok' END AS reason,
+               (CASE WHEN n_tokens < 5 THEN 'too_short'
+                     WHEN mean_tok_len > 10 THEN 'weird_shape'
+                     WHEN doc_id <> canon_id THEN 'exact_dup'
+                     ELSE 'ok' END) = 'ok' AS keep
+        FROM scored
+        ORDER BY doc_id
+      """.stripMargin.trim))
+  )
+}
