@@ -115,9 +115,12 @@ object SketchQueries {
         // pseudo-random (hash-derived) — stable across runs and executors.
         val nTables = 4
         val k = 4
+        // productHash is deprecated in 2.13.17 but its replacement
+        // (caseClassHash) produces DIFFERENT values — keep the original so
+        // the plane set (and the recall-tested bucketing) stays identical.
         val planes: Seq[Seq[Double]] = (0 until nTables * k).map { p =>
           (0 until 64).map { d =>
-            val h = scala.util.hashing.MurmurHash3.productHash((p, d))
+            val h: Int = (scala.util.hashing.MurmurHash3.productHash((p, d)): @scala.annotation.nowarn("cat=deprecation"))
             (h % 1000) / 1000.0
           }
         }
