@@ -61,14 +61,21 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, idCol: String, tokensCol: String,
       numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grouped = distinctSets(docs, idCol, tokensCol)
+    // Checkpoint the collapsed-set stage: three downstream actions (the
+    // vocab-size probe, the candidate pipeline, the member expansion) would
+    // otherwise each recompute the corpus groupBy.
+    val grouped = distinctSets(docs, idCol, tokensCol).localCheckpoint()
     val sets = grouped.select(col("rep"), col("toks"))
     val sig = sets.withColumn("sig", signature(col("toks"), numHashes))
     val banded = bands(sig, "sig", numBands).select("rep", "band_hash")
+    // Candidate pairs KEEP band duplicates here (a pair colliding in k bands
+    // appears k times): deduplicating before the exact confirm means
+    // shuffling the full pre-filter candidate volume — measured 8.4 s of
+    // q50's 8.9 s at sf0.1. Instead the confirm runs first (map-side when
+    // broadcastable) and the far smaller surviving set is deduplicated.
     val cand = banded.as("x").join(banded.as("y"), Seq("band_hash"))
       .filter(col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("r1"), col("y.rep").as("r2"))
-      .distinct()
     // Adaptive exact-confirm: if the corpus vocabulary fits in 64 bits,
     // compare token sets as bitmask popcounts (pure integer ops) instead of
     // string-array intersections — same result, far cheaper per candidate.
@@ -76,7 +83,9 @@ object MinHash {
     // general case for open vocabularies.)
     val vocab = sets.select(explode(col("toks")).as("tok")).distinct()
     val confirmed = if (vocab.count() <= 64) {
-      // ≤64 rows: the single-partition window is trivially safe.
+      // ≤64 rows: the single-partition window is trivially safe. The mask
+      // table is one row per distinct SET — small whenever this branch
+      // applies, so both confirm joins broadcast (no candidate shuffle).
       val vocabIdx = vocab.withColumn("idx",
         row_number().over(Window.orderBy("tok")) - 1)
       val masks = sets.select(col("rep"), explode(col("toks")).as("tok"))
@@ -84,16 +93,19 @@ object MinHash {
         .groupBy("rep")
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
       cand
-        .join(masks.select(col("rep").as("r1"), col("mask").as("m1")), "r1")
-        .join(masks.select(col("rep").as("r2"), col("mask").as("m2")), "r2")
+        .join(broadcast(masks.select(col("rep").as("r1"), col("mask").as("m1"))), "r1")
+        .join(broadcast(masks.select(col("rep").as("r2"), col("mask").as("m2"))), "r2")
         .withColumn("jac",
           expr("bit_count(m1 & m2)").cast("double") / expr("bit_count(m1 | m2)"))
         .filter(col("jac") >= threshold)
-        .select("r1", "r2", "jac")
+        .groupBy("r1", "r2").agg(first(col("jac")).as("jac"))
     } else {
+      // Open vocabulary: token arrays are too wide to broadcast blindly —
+      // dedupe candidates first, then shuffle-join the set arrays in.
+      val candD = cand.distinct()
       val t1 = sets.select(col("rep").as("r1"), col("toks").as("t1"))
       val t2 = sets.select(col("rep").as("r2"), col("toks").as("t2"))
-      cand.join(t1, "r1").join(t2, "r2")
+      candD.join(t1, "r1").join(t2, "r2")
         .withColumn("jac",
           size(array_intersect(col("t1"), col("t2"))).cast("double") /
             size(array_union(col("t1"), col("t2"))))
