@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-up evidence: replicate the sf0.1 fixture 10× (keyspace-offset
+  * copies, so the join graph repeats rather than skews) into /tmp and
+  * measure headline queries at both scales. A plan that is shuffle-bounded
+  * and pushdown-clean should scale ≈ linearly in rows; that ratio is the
+  * evidence the same plan survives 100 TB on a real cluster.
+  *
+  * Documents get a per-copy tag TOKEN prepended so each copy keeps the
+  * fixture's near-dup structure without collapsing into cross-copy exact
+  * duplicates. (The corpus is intentionally ~60% near-dup, so pair-output
+  * queries remain data-bound: their OUTPUT grows superlinearly by
+  * construction — that is a property of replicated near-dup data, not of
+  * the plans — so the scale table sticks to the linear-output queries.)
+  *
+  * Run: `sbt "Test/runMain graft.ScaleCheck"` (writes /tmp/graft_sf1).
+  */
+object ScaleCheck {
+  def main(a: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf1"
+    val copies = 10
+
+    def replicate(name: String, keyCols: Seq[String], offset: Long): DataFrame = {
+      val base = Tables.read(spark, src, name)
+      (0 until copies).map { i =>
+        keyCols.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) + lit(i * offset))
+        }
+      }.reduce(_ unionAll _)
+    }
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    println("[scale] building 10x dataset at " + dst)
+    write(replicate("lineitem", Seq("l_orderkey"), 10000000L), "lineitem")
+    write(replicate("orders", Seq("o_orderkey"), 10000000L), "orders")
+    // customer/part keep their keyspace (orders reference the same customers
+    // in every copy — same fan-out shape, 10x probe volume).
+    Seq("customer", "part", "supplier", "nation", "region", "embeddings")
+      .foreach(n => write(Tables.read(spark, src, n), n))
+    val docs = Tables.read(spark, src, "documents")
+    write(
+      (0 until copies).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", concat(lit(s"copytag$i "), col("text")))
+          .withColumn("n_chars", col("n_chars") + lit(9L + i.toString.length))
+      }.reduce(_ unionAll _), "documents")
+    // events: shift both key and user so windows/sessions repeat per copy.
+    write(replicate("events", Seq("event_id", "user_id"), 100000000L), "events")
+
+    val names = Seq("q01_pricing_summary", "q03_top_revenue_orders",
+      "q57_shipping_priority", "q59_returned_items", "q35_word_freq",
+      "q80_dataset_split", "q83_curation_pipeline")
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      Registry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both directories once
+    Registry.queries("q01_pricing_summary")(spark, src).count()
+    Registry.queries("q01_pricing_summary")(spark, dst).count()
+    println(f"[scale] ${"query"}%-26s ${"sf0.1"}%8s ${"10x"}%8s  ratio")
+    names.foreach { n =>
+      val t1 = time(src, n)
+      val t10 = time(dst, n)
+      println(f"[scale] $n%-26s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")
+    }
+    spark.stop()
+  }
+}
