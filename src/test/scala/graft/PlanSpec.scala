@@ -59,6 +59,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("q81 decontamination broadcasts the holdout and pushes the id filter") {
+    val p = planOf("q81_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "holdout shingle set must broadcast — a shuffle join here would move the corpus")
+    assert(p.contains("GreaterThanOrEqual(doc_id,5)"),
+      "corpus-side doc_id filter must reach the parquet scan")
+  }
+
+  test("q80 split assignment is a pure projection before one rollup shuffle") {
+    val p = planOf("q80_dataset_split")
+    assert(!p.contains("Join"), "split assignment must not join anything")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-split rollup must be partial+final")
+  }
+
+  test("q83 curation window shuffles by fingerprint, not globally") {
+    val p = planOf("q83_curation_pipeline")
+    assert(p.contains("hashpartitioning(fp"),
+      s"window must partition by fp (well-distributed key):\n$p")
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     graft.plans.VectorFunctions.register(spark)
     val df = Tables.read(spark, TestSpark.sf0001, "embeddings")
