@@ -153,6 +153,32 @@ object StreamingOps {
       col("e_ts") <= col("p_ts") + expr("INTERVAL 5 MINUTES"))
   }
 
+  /** Streaming twin of the batch curation pipeline (q83): quality gates +
+    * exact-dedup on the content fingerprint as documents arrive. Dedup is
+    * first-seen-wins within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): later copies are DROPPED rather than
+    * emitted with an `exact_dup` reason — that is the state-bounded
+    * streaming semantic (fingerprint state expires with the watermark, so a
+    * 100 TB/day feed never accumulates unbounded dedup state; cross-horizon
+    * dups are the batch layer's job, cf. q83).
+    * Expects columns: doc_id, ts (event time), text, n_chars. */
+  def curationStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("mean_tok_len",
+        col("n_chars").cast("double") / col("n_tokens"))
+      .withColumn("fp",
+        md5(concat_ws(" ", sort_array(array_distinct(col("toks")))).cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("reason",
+        when(col("n_tokens") < 5, "too_short")
+          .when(col("mean_tok_len") > 10, "weird_shape")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+      .select("doc_id", "n_tokens", "fp", "reason", "keep")
+
   /** A7/J10: Kudu-style keyed upsert serving sink — each micro-batch merges
     * into a parquet "serving table": union(existing, batch) → keep the
     * newest row per key. Atomic via write-to-tmp + directory swap. */

@@ -223,4 +223,35 @@ class StreamingSpec extends AnyFunSuite {
 
   private def unixMicros(s: String): Long =
     Timestamp.valueOf(s).getTime * 1000L
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String, n_chars: Long)
+
+  test("streaming curation: fingerprint dedup + quality gates (twin of q83)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingOps.curationStream(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("curation")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Doc(1, ts("2024-01-01 10:00:00"), "spark joins hash data fast", 26L),
+        // same token SET as doc 1 (order differs) → same fingerprint, dropped
+        Doc(2, ts("2024-01-01 10:00:01"), "fast hash joins spark data", 26L),
+        Doc(3, ts("2024-01-01 10:00:02"), "tiny doc", 8L),
+        // 5 tokens, 79 chars → mean token length 15.8 → weird_shape
+        Doc(4, ts("2024-01-01 10:00:03"),
+          "aaaaaaaaaaaaaaa bbbbbbbbbbbbbbb ccccccccccccccc ddddddddddddddd eeeeeeeeeeeeeee", 79L),
+        Doc(5, ts("2024-01-01 10:00:04"), "five clean tokens pass gates", 28L))
+      q.processAllAvailable()
+      val out = spark.table("curation").select("doc_id", "reason", "keep")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      assert(out == Set(
+        (1L, "ok", true),
+        // doc 2 absent: dropped by dropDuplicatesWithinWatermark
+        (3L, "too_short", false),
+        (4L, "weird_shape", false),
+        (5L, "ok", true)), s"got $out")
+    } finally q.stop()
+  }
 }
