@@ -39,6 +39,27 @@ object Multimodal {
       .withColumn("height", (lit(64) + (col("n_bytes") * 7) % 1016).cast("int"))
       .withColumn("frames", (lit(1) + col("n_bytes") % 30).cast("int"))
 
+  /** Deterministic evenly-spaced frame sampling: the k frame indices a
+    * frame-sampler decodes from an n-frame video. floor-based (no .5-tie
+    * rounding hazards), distinct (k > n collapses to every frame), sorted
+    * ascending by construction. Pure codegen'd built-ins — usable inside any
+    * query projection. */
+  def sampleFrameIndices(frames: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    array_distinct(transform(
+      sequence(lit(0), lit(k - 1)),
+      i => floor(i.cast("double") * frames.cast("double") / lit(k)).cast("int")))
+
+  /** Aspect-preserving resize plan: target (out_w, out_h) struct with the
+    * longer side clamped to maxSide (integer math only; never upscales). */
+  def resizePlan(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+      maxSide: Int): org.apache.spark.sql.Column = {
+    val longSide = greatest(width, height)
+    val scaleNum = least(longSide, lit(maxSide)) // numerator of scale = min(long, max)
+    val outW = (width * scaleNum) / longSide
+    val outH = (height * scaleNum) / longSide
+    struct(floor(outW).cast("int").as("out_w"), floor(outH).cast("int").as("out_h"))
+  }
+
   /** Partition-wise decode path: the shape a heavyweight decoder needs — one
     * decoder instance per partition, rows streamed through it in batches.
     * Mirrors PySpark's mapInPandas contract in idiomatic Scala. */

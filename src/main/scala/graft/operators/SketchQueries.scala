@@ -179,6 +179,45 @@ object SketchQueries {
         FROM documents ORDER BY doc_id
       """.stripMargin.trim)),
 
+    // ---- Multimodal processing plan: evenly-spaced frame sampling +
+    // aspect-preserving resize targets over the (stub-)decoded metadata.
+    // Pure integer/floor math (no .5-tie rounding hazards) → oracled. ----
+    QueryDef(
+      "q85_frame_plan",
+      (s, dir) => {
+        val meta = Multimodal.decodeStub(
+          Multimodal.withPayload(Tables.read(s, dir, "documents")))
+        // sort explicitly: DuckDB's list_distinct scrambles order
+        val sf = sort_array(Multimodal.sampleFrameIndices(col("frames"), 4))
+        meta.select(
+            col("doc_id"), col("width"), col("height"), col("frames"),
+            array_join(transform(sf, v => v.cast("string")), ",").as("sample_frames"),
+            Multimodal.resizePlan(col("width"), col("height"), 256).as("rp"))
+          .select(col("doc_id"), col("width"), col("height"), col("frames"),
+            col("sample_frames"),
+            col("rp.out_w").as("out_w"), col("rp.out_h").as("out_h"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH meta AS (
+          SELECT doc_id,
+                 CAST(64 + CAST(octet_length(encode(text)) AS BIGINT) % 1856 AS INT) AS width,
+                 CAST(64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 1016 AS INT) AS height,
+                 CAST(1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS INT) AS frames
+          FROM documents
+        )
+        SELECT doc_id, width, height, frames,
+               array_to_string(list_sort(list_distinct(list_transform(generate_series(0, 3),
+                 i -> CAST(floor(i * CAST(frames AS DOUBLE) / 4) AS INT)))), ',')
+                 AS sample_frames,
+               CAST(floor(width * LEAST(GREATEST(width, height), 256)
+                    / GREATEST(width, height)) AS INT) AS out_w,
+               CAST(floor(height * LEAST(GREATEST(width, height), 256)
+                    / GREATEST(width, height)) AS INT) AS out_h
+        FROM meta
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
     // ---- D9/K2: custom Aggregator UDAF in a declared query — per-language
     // MinHash sketch of the token universe (non-oracle; the Aggregator's
     // exactness is proven against a direct computation in SketchSpec) ----

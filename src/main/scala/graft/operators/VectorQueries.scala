@@ -186,6 +186,60 @@ object VectorQueries {
                                             i -> e[i] * e[len(e) + 1 - i]))
                     AS DECIMAL(18,9)) AS palindot
         FROM t ORDER BY vec_id
+      """.stripMargin.trim)),
+
+    // ---- Embedding int8-style quantization (training-data compression):
+    // per-vector min/max affine quantization to 0..255, then reconstruction
+    // error. floor(x + 0.5) instead of round() — Spark rounds doubles
+    // half-up, DuckDB half-even, floor is identical in both. Per-row
+    // expressions only → linear, codegen'd, no shuffle before ORDER BY. ----
+    QueryDef(
+      "q84_embedding_quantization",
+      (s, dir) =>
+        Tables.read(s, dir, "embeddings")
+          .withColumn("e", expr(toDouble))
+          .withColumn("mn", expr("array_min(e)"))
+          .withColumn("mx", expr("array_max(e)"))
+          .withColumn("scale", expr("(mx - mn) / 255.0D"))
+          .withColumn("q",
+            expr("transform(e, x -> CAST(floor((x - mn) / scale + 0.5D) AS INT))"))
+          .withColumn("deq", expr("transform(q, v -> mn + CAST(v AS DOUBLE) * scale)"))
+          .select(
+            col("vec_id"),
+            expr("CAST(CAST(mn AS DECIMAL(18,9)) AS DOUBLE)").as("mn"),
+            expr("CAST(CAST(mx AS DECIMAL(18,9)) AS DOUBLE)").as("mx"),
+            expr("""CAST(CAST(
+                aggregate(zip_with(e, deq, (x, y) -> (x - y) * (x - y)),
+                          CAST(0 AS DOUBLE), (s, x) -> s + x) / size(e)
+                AS DECIMAL(18,12)) AS DOUBLE)""").as("mse"),
+            expr("CAST(size(filter(q, v -> v = 0 OR v = 255)) AS BIGINT)").as("n_extreme"))
+          .orderBy("vec_id"),
+      Some("""
+        WITH t AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,
+                 (list_max(e) - list_min(e)) / 255.0 AS scale
+          FROM t
+        ),
+        q AS (
+          SELECT vec_id, e, mn, mx, scale,
+                 list_transform(e, x -> CAST(floor((x - mn) / scale + 0.5) AS INT)) AS qv
+          FROM s
+        )
+        SELECT vec_id,
+               CAST(CAST(mn AS DECIMAL(18,9)) AS DOUBLE) AS mn,
+               CAST(CAST(mx AS DECIMAL(18,9)) AS DOUBLE) AS mx,
+               CAST(CAST(
+                 list_sum(list_transform(generate_series(1, len(e)),
+                   i -> (e[i] - (mn + CAST(qv[i] AS DOUBLE) * scale))
+                        * (e[i] - (mn + CAST(qv[i] AS DOUBLE) * scale))))
+                 / len(e) AS DECIMAL(18,12)) AS DOUBLE) AS mse,
+               CAST(len(list_filter(qv, v -> v = 0 OR v = 255)) AS BIGINT) AS n_extreme
+        FROM q
+        ORDER BY vec_id
       """.stripMargin.trim))
   )
 }
