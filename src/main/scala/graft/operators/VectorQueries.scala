@@ -200,7 +200,11 @@ object VectorQueries {
           .withColumn("e", expr(toDouble))
           .withColumn("mn", expr("array_min(e)"))
           .withColumn("mx", expr("array_max(e)"))
-          .withColumn("scale", expr("(mx - mn) / 255.0D"))
+          // Constant-vector guard: scale 0 would send Infinity through the
+          // int cast, which THROWS under ANSI mode (Spark 4 default). A unit
+          // scale quantizes a constant vector to all-zeros exactly.
+          .withColumn("scale",
+            expr("CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE) ELSE (mx - mn) / 255.0D END"))
           .withColumn("q",
             expr("transform(e, x -> CAST(floor((x - mn) / scale + 0.5D) AS INT))"))
           .withColumn("deq", expr("transform(q, v -> mn + CAST(v AS DOUBLE) * scale)"))
@@ -221,7 +225,8 @@ object VectorQueries {
         ),
         s AS (
           SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,
-                 (list_max(e) - list_min(e)) / 255.0 AS scale
+                 CASE WHEN list_max(e) = list_min(e) THEN 1.0
+                      ELSE (list_max(e) - list_min(e)) / 255.0 END AS scale
           FROM t
         ),
         q AS (
