@@ -78,4 +78,56 @@ class PropertySpec extends AnyFunSuite {
     val twice = once.dropDuplicates("text")
     assert(once.count() == twice.count())
   }
+
+  test("q84 quantization: reconstruction error bounded by half a step") {
+    // |x - dequant(quant(x))| <= scale/2 for every element — the defining
+    // property of round-to-nearest affine quantization (floor(x+0.5) IS
+    // round-to-nearest for non-negative arguments, and (x-mn)/scale >= 0).
+    check(forAll(Gen.listOfN(16, Gen.choose(-100.0, 100.0))) { xs =>
+      val mn = xs.min; val mx = xs.max
+      val scale = if (mx == mn) 1.0 else (mx - mn) / 255.0
+      xs.forall { x =>
+        val q = math.floor((x - mn) / scale + 0.5).toInt
+        val deq = mn + q * scale
+        math.abs(x - deq) <= scale / 2 + 1e-12
+      }
+    })
+  }
+
+  test("frame sampling: indices in range, sorted, at most k, exhaustive when k >= n") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val frames = (1 to 40).toDF("frames")
+    val k = 4
+    val out = frames.select(col("frames"),
+        sort_array(graft.multimodal.Multimodal.sampleFrameIndices(col("frames"), k)).as("idx"))
+      .as[(Int, Seq[Int])].collect()
+    out.foreach { case (n, idx) =>
+      assert(idx.nonEmpty && idx.size <= k)
+      assert(idx.forall(i => i >= 0 && i < n), s"n=$n idx=$idx out of range")
+      assert(idx == idx.sorted && idx.distinct == idx)
+      if (n <= k) assert(idx == (0 until n), s"k>=n must sample every frame (n=$n, idx=$idx)")
+    }
+  }
+
+  test("resize plan: aspect preserved within rounding, never upscales, long side <= max") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dims = (for (w <- Seq(64, 257, 640, 1919); h <- Seq(64, 300, 1016, 1080))
+      yield (w, h)).toDF("w", "h")
+    val out = dims.select(col("w"), col("h"),
+        graft.multimodal.Multimodal.resizePlan(col("w"), col("h"), 256).as("rp"))
+      .select(col("w"), col("h"), col("rp.out_w"), col("rp.out_h"))
+      .as[(Int, Int, Int, Int)].collect()
+    out.foreach { case (w, h, ow, oh) =>
+      assert(math.max(ow, oh) <= 256, s"($w,$h) -> ($ow,$oh)")
+      assert(ow <= w && oh <= h, "must never upscale")
+      // aspect preserved within 1px of the exact scaled value
+      val s = math.min(math.max(w, h), 256).toDouble / math.max(w, h)
+      assert(math.abs(ow - w * s) <= 1 && math.abs(oh - h * s) <= 1,
+        s"($w,$h) -> ($ow,$oh) drifts from scale $s")
+    }
+  }
 }
