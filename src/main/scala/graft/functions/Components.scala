@@ -37,9 +37,17 @@ object Components {
           und("dst") === col("dst2"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("rep")).as("nbr_rep"))
-      val step = labels.join(nbrMin, labels("id") === col("id2"), "left")
+      val step1 = labels.join(nbrMin, labels("id") === col("id2"), "left")
         .select(col("id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+      // Pointer jumping: rep <- rep(rep). Labels are always vertex ids, so
+      // each round also contracts label chains by one hop — convergence goes
+      // from O(diameter) to O(log diameter) shuffle rounds, the difference
+      // that matters when a 100 TB graph has long thin components.
+      val reps = step1.select(col("id").as("rid"), col("rep").as("rrep"))
+      val step = step1.join(reps, step1("rep") === col("rid"), "left")
+        .select(step1("id"), step1("old_rep"),
+          coalesce(col("rrep"), step1("rep")).as("rep"))
         .localCheckpoint()
       val changed = step.filter(col("rep") =!= col("old_rep")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
