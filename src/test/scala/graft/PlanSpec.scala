@@ -80,6 +80,24 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by fp (well-distributed key):\n$p")
   }
 
+  test("no declared query plans an unbounded cartesian join") {
+    // Cross/nested-loop joins are allowed only where one side is provably
+    // bounded and documented as such at the query site:
+    val bounded = Set(
+      "q08_nation_pairs",   // 25x25 nations, theta join exhibit
+      "q33_neardup_pairs",  // distinct token-SET pairs, not doc pairs
+      "q36_tfidf",          // broadcast of the single-row corpus size N
+      "q40_ngram_jaccard",  // 50-doc bounded query set
+      "q44_knn_topk")       // 20-vector bounded query set
+    Registry.all.foreach { q =>
+      val p = q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+      val cartesian = p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")
+      assert(!cartesian || bounded(q.name),
+        s"${q.name} plans a cartesian/nested-loop join but is not in the bounded allowlist")
+    }
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     graft.plans.VectorFunctions.register(spark)
     val df = Tables.read(spark, TestSpark.sf0001, "embeddings")
