@@ -40,6 +40,37 @@ class SketchSpec extends AnyFunSuite {
     assert(nFound / nExact >= 0.99, s"recall ${nFound / nExact}")
   }
 
+  test("I2 open-vocabulary branch: >64 distinct tokens takes the array-confirm path, same contract") {
+    // The fixture corpus has a 31-word vocabulary, so every other test runs
+    // the bitmask confirm branch. Build a deterministic 200-token-vocab
+    // corpus (seeded, in-test only) with planted near-dup pairs to exercise
+    // the array_intersect/array_union branch.
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 200).map(i => s"tok$i")
+    val base = (0 until 60).map { d =>
+      (d.toLong, rnd.shuffle(vocab).take(20 + rnd.nextInt(10)))
+    }
+    // plant near-dups: copy of doc d with one token swapped (jac ≈ 0.9)
+    val dups = base.take(15).map { case (d, ts) =>
+      (d + 1000L, ts.dropRight(1) :+ s"tok${rnd.nextInt(200)}")
+    }
+    val df = (base ++ dups).toDF("doc_id", "toks")
+      .withColumn("toks", array_distinct($"toks"))
+    val lsh = MinHash.nearDupPairs(df, "doc_id", "toks", 96, 16, 0.8)
+      .select("d1", "d2").cache()
+    val a = df.select($"doc_id".as("d1"), $"toks".as("t1"))
+    val b = df.select($"doc_id".as("d2"), $"toks".as("t2"))
+    val exact = a.crossJoin(b).filter($"d1" < $"d2")
+      .withColumn("jac", size(array_intersect($"t1", $"t2")).cast("double") /
+        size(array_union($"t1", $"t2")))
+      .filter($"jac" >= 0.8)
+      .select("d1", "d2").cache()
+    assert(exact.count() >= 10, "planted near-dups must survive the threshold")
+    assert(lsh.exceptAll(exact).isEmpty, "precision must be 1.0 (exact confirm)")
+    val recall = exact.intersect(lsh).count().toDouble / exact.count()
+    assert(recall >= 0.99, s"recall $recall")
+  }
+
   test("SimHash: identical token sets hash identically; hamming is a metric zero") {
     val fp = toks.withColumn("sim", SimHash.simhash64($"toks"))
     // doc 0 ≡ doc 82 have identical token sets at sf0.001 (FIXTURES.md)
