@@ -24,9 +24,13 @@ import numpy as np
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = None
-for a in sys.argv[3:]:
+_args = sys.argv[3:]
+for i, a in enumerate(_args):
     if a.startswith("--only"):
-        only = set(a.split("=", 1)[1].split(",")) if "=" in a else None
+        if "=" in a:
+            only = set(a.split("=", 1)[1].split(","))
+        elif i + 1 < len(_args):
+            only = set(_args[i + 1].split(","))
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -107,12 +111,16 @@ def cells_equal(a, b):
 
 fail = 0
 names = sorted(oracle) if only is None else sorted(set(oracle) & only)
+rows_only_checked = 0
 # Rows-only check for non-oracle outputs (mimic the driver's weaker path):
 for name in no_oracle:
     if only is not None and name not in only:
         continue
+    rows_only_checked += 1
     try:
         df = load_spark(name)
+        if df is None:
+            print(f"FAIL {name}: no spark output"); fail += 1; continue
         canon(df)  # must not crash (arrays in output would)
         print(f"ok   {name}: rows-only, {len(df)} rows")
     except Exception as e:
@@ -162,5 +170,5 @@ for name in names:
     except Exception as e:
         print(f"ERROR {name}: {type(e).__name__}: {e}"); fail += 1
 print("RESULT:", "FAIL" if fail else "PASS",
-      f"({len(names)} oracled + {len(no_oracle)} rows-only, {fail} failures)")
+      f"({len(names)} oracled + {rows_only_checked} rows-only, {fail} failures)")
 sys.exit(1 if fail else 0)

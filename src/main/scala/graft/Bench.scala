@@ -35,16 +35,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Locale.ROOT: a comma-decimal default locale would print 61,234 and
+    // break the driver's JSON parse of the one line that matters.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(pairs: Seq[(String, Double)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      pairs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val slowest = results.sortBy(-_._2).take(15)
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
-      w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
+      w.println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(slowest)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,9 +37,13 @@ object Components {
           und("dst") === col("dst2"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("rep")).as("nbr_rep"))
+      // Checkpoint before the self-join below — step1 feeds BOTH sides of
+      // the pointer jump, and without materialization the neighbor-min
+      // join/aggregate subtree would execute twice per iteration.
       val step1 = labels.join(nbrMin, labels("id") === col("id2"), "left")
         .select(col("id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
       // Pointer jumping: rep <- rep(rep). Labels are always vertex ids, so
       // each round also contracts label chains by one hop — convergence goes
       // from O(diameter) to O(log diameter) shuffle rounds, the difference

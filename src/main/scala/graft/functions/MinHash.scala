@@ -61,10 +61,11 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, idCol: String, tokensCol: String,
       numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Checkpoint the collapsed-set stage: three downstream actions (the
-    // vocab-size probe, the candidate pipeline, the member expansion) would
-    // otherwise each recompute the corpus groupBy.
-    val grouped = distinctSets(docs, idCol, tokensCol).localCheckpoint()
+    // Checkpoint the collapsed-set stage (lazy — eager would run a job at
+    // plan-construction time): three downstream actions (the vocab-size
+    // probe, the candidate pipeline, the member expansion) would otherwise
+    // each recompute the corpus groupBy.
+    val grouped = distinctSets(docs, idCol, tokensCol).localCheckpoint(eager = false)
     val sets = grouped.select(col("rep"), col("toks"))
     val sig = sets.withColumn("sig", signature(col("toks"), numHashes))
     val banded = bands(sig, "sig", numBands).select("rep", "band_hash")

@@ -445,12 +445,14 @@ object TextQueries {
         // edges than the doc-expanded pair list), then map docs through
         // their set's representative. Set rep = min(doc_id) of the set, so
         // the component rep is still the min doc id of the whole cluster.
-        // localCheckpoint both once: the crossJoin pair pipeline is the
-        // expensive part and downstream actions (edge cache, convergence
-        // loop, final join) would otherwise each recompute it.
+        // localCheckpoint both once (LAZY: eager would execute the crossJoin
+        // pipeline at DataFrame construction, i.e. during schema-only
+        // inspections): the first action materializes them, and the
+        // convergence loop's many actions then reuse the checkpoint instead
+        // of recomputing the pair pipeline.
         val (masks0, pairs0) = maskPairs(s, dir)
-        val masks = masks0.localCheckpoint()
-        val pairs = pairs0.localCheckpoint()
+        val masks = masks0.localCheckpoint(eager = false)
+        val pairs = pairs0.localCheckpoint(eager = false)
         val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
         val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
         val edges = pairs

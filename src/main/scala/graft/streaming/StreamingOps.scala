@@ -166,8 +166,11 @@ object StreamingOps {
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // Round through decimal(18,6) exactly like batch q83 so the two
+      // pipelines classify boundary values identically.
       .withColumn("mean_tok_len",
-        col("n_chars").cast("double") / col("n_tokens"))
+        (col("n_chars").cast("double") / col("n_tokens"))
+          .cast("decimal(18,6)").cast("double"))
       .withColumn("fp",
         md5(concat_ws(" ", sort_array(array_distinct(col("toks")))).cast("binary")))
       .withWatermark("ts", watermark)

@@ -50,7 +50,7 @@ object ScaleCheck {
       (0 until copies).map { i =>
         docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
           .withColumn("text", concat(lit(s"copytag$i "), col("text")))
-          .withColumn("n_chars", col("n_chars") + lit(9L + i.toString.length))
+          .withColumn("n_chars", col("n_chars") + lit(8L + i.toString.length))
       }.reduce(_ unionAll _), "documents")
     // events: shift both key and user so windows/sessions repeat per copy.
     write(replicate("events", Seq("event_id", "user_id"), 100000000L), "events")
