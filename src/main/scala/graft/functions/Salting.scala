@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Equi-join fact⋈dim on `key`, salted `nSalts` ways. The salt must be a
-    * deterministic function of a fact column so re-execution is stable;
-    * a per-row unique column (any id) works. */
+    * deterministic function of a fact column so re-execution is stable; a
+    * per-row unique column (any id, any type) works — hash() accepts every
+    * type and maps NULL to a stable non-null value, so no fact row can lose
+    * its salt (pmod on a NULL source would drop the row from the join). */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: String, nSalts: Int): DataFrame = {
     val salted = fact.withColumn("__salt",
-      pmod(col(saltSource), lit(nSalts)).cast("int"))
+      pmod(hash(col(saltSource)), lit(nSalts)).cast("int"))
     val replicated = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -45,6 +45,12 @@ object SimHash {
         when(col(s"__s$b") > 0, expr(s"shiftleft(CAST(1 AS BIGINT), $b)"))
           .otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    agged.select(col("__id").as(idCol), simCol.as("sim"))
+    val fromTokens = agged.select(col("__id").as(idCol), simCol.as("sim"))
+    // explode() emits no rows for empty/null token arrays, which would drop
+    // those ids entirely; simhash64 fingerprints them as 0 — reattach them
+    // so the bulk path keeps the documented equivalence.
+    df.select(col(idCol)).distinct()
+      .join(fromTokens, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sim"), lit(0L)).as("sim"))
   }
 }

@@ -406,10 +406,13 @@ object TextQueries {
           FROM documents
         )
         SELECT doc_id,
-               list_reduce(cs, (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
-               list_min(list_transform(generate_series(1, length(text) - 7),
-                 i -> list_reduce(cs[i:i+7], (acc, c) -> (acc * 31 + c) % 1000000007)))
-                 AS min_shingle_fp
+               CASE WHEN length(text) = 0 THEN NULL
+                    ELSE list_reduce(cs, (acc, c) -> (acc * 31 + c) % 1000000007)
+               END AS fp,
+               CASE WHEN length(text) < 8 THEN NULL
+                    ELSE list_min(list_transform(generate_series(1, length(text) - 7),
+                      i -> list_reduce(cs[i:i+7], (acc, c) -> (acc * 31 + c) % 1000000007)))
+               END AS min_shingle_fp
         FROM chars
         ORDER BY doc_id
       """.stripMargin.trim)),

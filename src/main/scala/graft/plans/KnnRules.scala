@@ -19,8 +19,12 @@ object KnnFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, kj: KnnJoin) =>
       val qIdAttr = kj.output.head // q_id
       val queryIdAttr = kj.queries.output.head // queries-side id column
+      // deterministic-only, like Catalyst's own pushdown rules: a rand()-
+      // dependent conjunct must evaluate once per OUTPUT row, not once per
+      // query row.
       val (pushable, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(AttributeSet(qIdAttr)))
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(AttributeSet(qIdAttr)))
       if (pushable.isEmpty) f
       else {
         val rewritten = pushable.map(_.transform {

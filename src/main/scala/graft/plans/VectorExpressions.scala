@@ -41,14 +41,24 @@ case class DotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  /** Element nullability of either side forces a per-element null check; a
+    * null element propagates NULL, exactly like the HOF formulation
+    * (zip_with product of null is null, aggregate sum of null is null). */
+  private def elementsNullable: Boolean = Seq(left, right).exists(
+    _.dataType match { case ArrayType(_, n) => n; case _ => false })
+
+  override def nullable: Boolean = super.nullable || elementsNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val lf = isFloat(left); val rf = isFloat(right)
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -64,13 +74,23 @@ case class DotProduct(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val lGet = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val rGet = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // The null-element branch is emitted only when the schema says null
+      // elements are possible — the common containsNull=false path keeps the
+      // tight branch-free loop.
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |final int $n = Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $lGet * $rGet;
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $s;
+         |}
        """.stripMargin
     })
 

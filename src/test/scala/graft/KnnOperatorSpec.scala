@@ -47,4 +47,41 @@ class KnnOperatorSpec extends AnyFunSuite {
     assert(plan.contains("KnnJoin"), plan) // nodeName renders without "Exec"
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"))
   }
+
+  test("zero-norm (NaN-cosine) corpus vectors rank last, never crowding out real neighbors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.VectorFunctions.register(spark)
+    // One query, three unit-ish neighbors, one ZERO vector (cos = 0/0 = NaN).
+    // There is no window-formulation semantics to mirror here: under ANSI
+    // mode (Spark 4 default) the q44-style division THROWS DIVIDE_BY_ZERO —
+    // asserted below. The operator's documented contract is that degenerate
+    // vectors rank last.
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.5f, 0.5f)),
+      (4L, Array(0.0f, 0.0f)), // zero norm
+      (5L, Array(0.1f, 0.9f))).toDF("vec_id", "e")
+      .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+    val q = rows.filter($"vec_id" === 1L)
+    val top3 = graft.plans.Knn.topK(spark, q, rows, 3)
+      .select("rank", "nb_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(top3.map(_._2) == Seq(2L, 3L, 5L),
+      s"finite-cosine neighbors in similarity order, NaN excluded: $top3")
+    val top4 = graft.plans.Knn.topK(spark, q, rows, 4)
+      .select("rank", "nb_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(top4.last._2 == 4L, s"the NaN-cosine neighbor ranks last: $top4")
+    // And the naive window formulation cannot express this at all:
+    val windowFails = intercept[Exception] {
+      q.select($"vec_id".as("q_id"), $"e".as("ae"), $"nrm".as("anrm"))
+        .crossJoin(rows.select($"vec_id".as("nb_id"), $"e".as("be"), $"nrm".as("bnrm")))
+        .filter($"q_id" =!= $"nb_id")
+        .withColumn("cos", expr("graft_dot(ae, be) / (anrm * bnrm)"))
+        .collect()
+    }
+    assert(windowFails.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
 }

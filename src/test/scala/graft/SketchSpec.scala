@@ -71,6 +71,19 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.99, s"recall $recall")
   }
 
+  test("simhashAgg keeps ids with empty token arrays (sim 0, like simhash64)") {
+    val df = Seq(
+      (1L, Seq("spark", "join")),
+      (2L, Seq.empty[String])).toDF("id", "toks")
+    val bulk = SimHash.simhashAgg(df, "id", "toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bulk.keySet == Set(1L, 2L), "empty-set id must not vanish")
+    assert(bulk(2L) == 0L, "empty set fingerprints to 0, matching simhash64")
+    val perRow = df.select($"id", SimHash.simhash64($"toks").as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bulk == perRow, "bulk path must equal the per-row expression")
+  }
+
   test("SimHash: identical token sets hash identically; hamming is a metric zero") {
     val fp = toks.withColumn("sim", SimHash.simhash64($"toks"))
     // doc 0 ≡ doc 82 have identical token sets at sf0.001 (FIXTURES.md)
