@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the centroid-bucketed
+  * scale path for similarity search (complement of the random-hyperplane LSH
+  * in q52): k-means centroids partition the corpus into nlist buckets; a
+  * query probes only its nprobe nearest buckets, so the scan cost drops from
+  * O(corpus) to O(corpus · nprobe / nlist) per query.
+  *
+  * Everything is DETERMINISTIC by construction (the engine's verification
+  * model requires byte-stable outputs):
+  *   - centroid init = the nlist lowest-id vectors (no random seeding);
+  *   - assignment = argmin of exact squared L2, ties broken by centroid id
+  *     (array_position returns the FIRST minimum);
+  *   - centroid update sums coordinates through DECIMAL(28,14) — decimal
+  *     addition is exact and order-independent, so shuffle order cannot
+  *     perturb the means by an ulp and flip a boundary assignment.
+  *
+  * Scale notes: assignment is one broadcast-literal projection over the
+  * corpus (codegen'd, no shuffle); the update is one groupBy(cluster) over
+  * (cluster, pos, value) triples — shuffle keyed by (cluster, pos), uniform
+  * by construction. Centroids (nlist × dim doubles) live on the driver
+  * between iterations, exactly like production IVF trainers.
+  */
+object Ivf {
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def dist2(e: Column, c: Array[Double]): Column = {
+    val litC = typedLit(c.toSeq)
+    // ||x - c||^2 via one zip fold; graft_dot is for the cosine path — here
+    // the subtraction makes a dedicated fold clearer than three dots.
+    aggregate(
+      zip_with(e, litC, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+  }
+
+  /** Cluster id (0-based) of the nearest centroid, first-min tie-break. */
+  def assignment(e: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map(c => dist2(e, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Deterministic k-means: init = nlist lowest-id vectors, `iters` rounds
+    * of assign + decimal-exact mean update. vecs: (idCol, vecCol:
+    * array<double>). Returns nlist×dim centroids (row i = cluster i). */
+  def train(vecs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = vecs
+      .orderBy(col(idCol)).limit(nlist)
+      .select(vecCol).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("__c", assignment(col(vecCol), centroids))
+      val means = assigned
+        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__c", "__pos")
+        .agg((sum(col("__v").cast("decimal(28,14)")) / count(lit(1)))
+          .cast("double").as("__mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      // clusters that captured no vectors keep their previous centroid
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Top-k cosine neighbors per query via nprobe-bucket search.
+    * corpus/queries: (id, e: array<double>, nrm). Returns
+    * (q_id, rank, nb_id, cos) like the exact q44 shape. */
+  def search(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val indexed = corpus.withColumn("__c", assignment(col("e"), centroids))
+    // nprobe nearest buckets per query, as rows (query replicated nprobe×):
+    val dists = array(centroids.map(c => dist2(col("e"), c)): _*)
+    val probed = queries
+      .withColumn("__dists", dists)
+      .withColumn("__order",
+        expr("array_sort(transform(__dists, (d, i) -> named_struct('d', d, 'i', i)))"))
+      .withColumn("__probe", expr(s"transform(slice(__order, 1, $nprobe), s -> s.i)"))
+      .select(col("vec_id").as("q_id"), col("e").as("ae"),
+        col("nrm").as("anrm"), explode(col("__probe")).as("__c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id"))
+    probed.join(indexed.select(col("vec_id").as("nb_id"), col("e").as("be"),
+        col("nrm").as("bnrm"), col("__c")), Seq("__c"))
+      .filter(col("q_id") =!= col("nb_id"))
+      .withColumn("cos", expr("graft_dot(ae, be) / (anrm * bnrm)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "nb_id", "cos")
+  }
+}

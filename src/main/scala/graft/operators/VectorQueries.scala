@@ -188,6 +188,26 @@ object VectorQueries {
         FROM t ORDER BY vec_id
       """.stripMargin.trim)),
 
+    // ---- IVF ANN: centroid-bucketed approximate kNN (the inverted-file
+    // scale path the LSH variant q52 complements). Deterministic k-means
+    // (lowest-id init, decimal-exact mean updates) builds nlist=8 buckets;
+    // each query probes its nprobe=3 nearest buckets only. Non-oracle
+    // (recall vs the exact q44 asserted in VectorSpec). ----
+    QueryDef(
+      "q86_ivf_ann",
+      (s, dir) => {
+        graft.plans.VectorFunctions.register(s)
+        val v = Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"), expr(toDouble).as("e"))
+          .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+        val centroids = graft.functions.Ivf.train(v, "vec_id", "e", nlist = 8, iters = 3)
+        val q = v.filter(col("vec_id") < 20)
+        graft.functions.Ivf.search(v, q, centroids, nprobe = 3, k = 5)
+          .select(col("q_id"), col("rank"), col("nb_id"),
+            col("cos").cast("decimal(18,9)").cast("double").as("cos_sim"))
+          .orderBy("q_id", "rank")
+      }),
+
     // ---- Embedding int8-style quantization (training-data compression):
     // per-vector min/max affine quantization to 0..255, then reconstruction
     // error. floor(x + 0.5) instead of round() — Spark rounds doubles
