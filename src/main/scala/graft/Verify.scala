@@ -16,9 +16,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Remove any previous run's output FIRST: if this query throws, a
+      // stale directory would otherwise survive and the driver's compare
+      // would report last run's rows as a pass for a failing query.
+      val dest = new java.io.File(s"$outDir/$name")
+      if (dest.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dest)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OOM/VM error must crash the run loudly rather
+        // than keep iterating on a wedged session.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -99,9 +99,7 @@ object EventQueries {
       (s, dir) =>
         eventsUs(s, dir)
           .withColumn("parsed",
-            from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("k",
-                org.apache.spark.sql.types.IntegerType)))))
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
           .withColumn("k", col("parsed").getField("k").cast("long"))
           .withColumn("tagged", struct(col("event_type").as("t"), col("user_id").as("u")))
           .withColumn("m", map(lit("base"), col("k"), lit("double"), col("k") * 2))

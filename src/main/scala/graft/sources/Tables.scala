@@ -35,7 +35,4 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Registers every table as a temp view so SQL-path queries can run. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(t => read(spark, dir, t).createOrReplaceTempView(t))
 }
