@@ -61,6 +61,10 @@ object Components {
       i += 1
     }
     und.unpersist()
+    if (!converged)
+      System.err.println(s"[components] WARNING: stopped at maxIter=$maxIter " +
+        "without convergence — labels are PARTIAL (components may be split). " +
+        "Raise maxIter for graphs with diameter beyond ~2^maxIter.")
     labels
   }
 }

@@ -47,8 +47,13 @@ object Ivf {
     * array<double>). Returns nlist×dim centroids (row i = cluster i). */
   def train(vecs: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Array[Array[Double]] = {
+    // Init from DISTINCT vectors (lowest owning id per vector, lowest ids
+    // first): duplicate init vectors would make identical centroids, and
+    // the first-min tie-break would starve the later copy into a
+    // permanently dead cluster that wastes a probe slot at search time.
     var centroids: Array[Array[Double]] = vecs
-      .orderBy(col(idCol)).limit(nlist)
+      .groupBy(col(vecCol)).agg(min(col(idCol)).as("__mid"))
+      .orderBy(col("__mid")).limit(nlist)
       .select(vecCol).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
@@ -70,10 +75,14 @@ object Ivf {
   }
 
   /** Top-k cosine neighbors per query via nprobe-bucket search.
-    * corpus/queries: (id, e: array<double>, nrm). Returns
-    * (q_id, rank, nb_id, cos) like the exact q44 shape. */
+    * corpus/queries: (idCol, e: array<double>, nrm). Returns
+    * (q_id, rank, nb_id, cos) like the exact q44 shape. Zero-norm vectors
+    * (cosine 0/0 = NaN) rank LAST, never displacing real neighbors — the
+    * same contract as KnnJoinExec (a raw double sort would put NaN first).
+    */
   def search(corpus: DataFrame, queries: DataFrame,
-      centroids: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+      centroids: Array[Array[Double]], nprobe: Int, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val indexed = corpus.withColumn("__c", assignment(col("e"), centroids))
     // nprobe nearest buckets per query, as rows (query replicated nprobe×):
@@ -83,13 +92,18 @@ object Ivf {
       .withColumn("__order",
         expr("array_sort(transform(__dists, (d, i) -> named_struct('d', d, 'i', i)))"))
       .withColumn("__probe", expr(s"transform(slice(__order, 1, $nprobe), s -> s.i)"))
-      .select(col("vec_id").as("q_id"), col("e").as("ae"),
+      .select(col(idCol).as("q_id"), col("e").as("ae"),
         col("nrm").as("anrm"), explode(col("__probe")).as("__c"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nb_id"))
-    probed.join(indexed.select(col("vec_id").as("nb_id"), col("e").as("be"),
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc_nulls_last, col("nb_id"))
+    probed.join(indexed.select(col(idCol).as("nb_id"), col("e").as("be"),
         col("nrm").as("bnrm"), col("__c")), Seq("__c"))
       .filter(col("q_id") =!= col("nb_id"))
-      .withColumn("cos", expr("graft_dot(ae, be) / (anrm * bnrm)"))
+      .withColumn("cos0", expr("graft_dot(ae, be) / (anrm * bnrm)"))
+      // NaN -> NULL so desc_nulls_last ranks degenerate vectors behind
+      // every finite cosine (NaN itself sorts ABOVE +Infinity in Spark).
+      .withColumn("cos",
+        when(isnan(col("cos0")), lit(null).cast("double")).otherwise(col("cos0")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "nb_id", "cos")

@@ -32,7 +32,12 @@ object MinHash {
     array(sigs: _*)
   }
 
-  /** Explodes a signature into (bandId, bandHash) rows for LSH bucketing. */
+  /** Explodes a signature into (bandId, bandHash) rows for LSH bucketing.
+    * numBands must divide the signature length: a remainder would silently
+    * drop the trailing signature rows from every band (recall below the
+    * advertised S-curve), and numBands > length would make every slice
+    * empty so ALL documents collide in ALL bands (a |sets|² candidate
+    * cross product). */
   def bands(df: DataFrame, sigCol: String, numBands: Int): DataFrame = {
     val n = numBands
     df.withColumn("band_id", explode(sequence(lit(0), lit(n - 1))))
@@ -61,6 +66,8 @@ object MinHash {
   def nearDupPairs(docs: DataFrame, idCol: String, tokensCol: String,
       numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(numBands >= 1 && numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes) — see bands()")
     // Checkpoint the collapsed-set stage (lazy — eager would run a job at
     // plan-construction time): three downstream actions (the vocab-size
     // probe, the candidate pipeline, the member expansion) would otherwise
@@ -83,13 +90,18 @@ object MinHash {
     // (An AQE-style data-dependent plan choice; the array path is the
     // general case for open vocabularies.)
     val vocab = sets.select(explode(col("toks")).as("tok")).distinct()
-    val confirmed = if (vocab.count() <= 64) {
+    // limit(65): only "is it > 64" matters — don't pay a full-corpus
+    // distinct count for a branch decision.
+    val confirmed = if (vocab.limit(65).count() <= 64) {
       // ≤64 rows: the single-partition window is trivially safe. The mask
       // table is one row per distinct SET — small whenever this branch
       // applies, so both confirm joins broadcast (no candidate shuffle).
       val vocabIdx = vocab.withColumn("idx",
         row_number().over(Window.orderBy("tok")) - 1)
-      val masks = sets.select(col("rep"), explode(col("toks")).as("tok"))
+      // array_distinct BEFORE exploding: the input contract does not demand
+      // distinct tokens, and a duplicate would double its bit contribution —
+      // wrong masks, and an ANSI overflow for a duplicated bit-63 token.
+      val masks = sets.select(col("rep"), explode(array_distinct(col("toks"))).as("tok"))
         .join(broadcast(vocabIdx), "tok")
         .groupBy("rep")
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))

@@ -163,11 +163,13 @@ object CurationQueries {
       """.stripMargin.trim)),
 
     // ---- Composite curation decision: quality gates + exact-dedup
-    // canonicalization in one pass. fp = md5 of the sorted distinct token
-    // set (q38's fingerprint); a doc is kept iff it passes the length/shape
-    // gates AND is its fingerprint group's canonical (min doc_id) member.
-    // The window is keyed by fp — at 100 TB that is a well-distributed
-    // shuffle, and the gates prune rows before it. ----
+    // canonicalization in one pass. fp = md5 of the sorted distinct
+    // (case-sensitive) token set; the canonical member of a fingerprint
+    // group is the min doc_id AMONG GATE-PASSING members — if it were the
+    // raw group minimum, a group whose lowest-id copy fails a gate would
+    // lose every copy ("too_short" for the min, "exact_dup" for the rest)
+    // instead of keeping one survivor. The window is keyed by fp — a
+    // well-distributed shuffle at any scale. ----
     QueryDef(
       "q83_curation_pipeline",
       (s, dir) => {
@@ -179,7 +181,11 @@ object CurationQueries {
               .cast("decimal(18,6)").cast("double"))
           .withColumn("fp",
             md5(concat_ws(" ", sort_array(array_distinct(col("toks")))).cast("binary")))
-          .withColumn("canon_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+          .withColumn("quality_ok",
+            col("n_tokens") >= 5 && col("mean_tok_len") <= 10)
+          .withColumn("canon_id",
+            min(when(col("quality_ok"), col("doc_id")))
+              .over(Window.partitionBy("fp")))
         base
           .withColumn("reason",
             when(col("n_tokens") < 5, "too_short")
@@ -198,12 +204,17 @@ object CurationQueries {
           FROM documents
         ),
         scored AS (
-          SELECT doc_id,
+          SELECT doc_id, fp,
                  CAST(len(toks) AS BIGINT) AS n_tokens,
                  CAST(CAST(CAST(n_chars AS DOUBLE) / len(toks) AS DECIMAL(18,6)) AS DOUBLE)
-                   AS mean_tok_len,
-                 MIN(doc_id) OVER (PARTITION BY fp) AS canon_id
+                   AS mean_tok_len
           FROM base
+        ),
+        canon AS (
+          SELECT *,
+                 MIN(CASE WHEN n_tokens >= 5 AND mean_tok_len <= 10
+                          THEN doc_id END) OVER (PARTITION BY fp) AS canon_id
+          FROM scored
         )
         SELECT doc_id, n_tokens, mean_tok_len, canon_id,
                CASE WHEN n_tokens < 5 THEN 'too_short'
@@ -214,7 +225,7 @@ object CurationQueries {
                      WHEN mean_tok_len > 10 THEN 'weird_shape'
                      WHEN doc_id <> canon_id THEN 'exact_dup'
                      ELSE 'ok' END) = 'ok' AS keep
-        FROM scored
+        FROM canon
         ORDER BY doc_id
       """.stripMargin.trim))
   )
