@@ -45,6 +45,12 @@ object TextQueries {
     val tok = docToks(s, dir).select(col("doc_id"), explode(col("toks")).as("tok"))
     val vocab = tok.select("tok").distinct()
       .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
+      // Runtime tripwire, zero extra jobs: shiftleft wraps mod 64, so a
+      // 65th vocabulary word would silently ALIAS bit 0 and corrupt every
+      // Jaccard downstream (q33/q78). Fail loudly; the open-vocabulary
+      // answer is the MinHash/LSH path (q50).
+      .filter(expr("ifnull(assert_true(idx <= 63, " +
+        "'vocabulary exceeds 64 words: bitmask Jaccard invalid, use MinHash/LSH (q50)'), true)"))
     val masks = tok.join(broadcast(vocab), "tok")
       .groupBy("doc_id")
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))

@@ -27,12 +27,20 @@ object Tables {
       case t        => spark.read.parquet(s"$dir/$t.parquet")
     }
 
+  /** The ONE ts conversion shared by the batch reader and the streaming
+    * replay (StreamingOps.fileReplay): nanos-as-long → µs timestamp. The
+    * lambda parity guarantee (replay ≡ batch) depends on both paths using
+    * this exact expression — never inline a copy. */
+  def nanosTsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Conf key the nanos shim needs (consulted at scan planning time). */
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** `events` with `ts` as a µs-precision timestamp (see object doc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.conf.set(NanosAsLongConf, "true")
+    nanosTsToMicros(spark.read.parquet(s"$dir/events.parquet"))
   }
 
 }

@@ -33,14 +33,14 @@ object StreamingOps {
     * append-only log dir, the file-system analogue of a Kafka topic), so the
     * single test file is staged into a fresh temp dir via symlink. */
   def fileReplay(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(graft.sources.Tables.NanosAsLongConf, "true")
     val stage = java.nio.file.Files.createTempDirectory("graft-replay")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Shared conversion = the replay-equals-batch parity guarantee.
+    graft.sources.Tables.nanosTsToMicros(
+      spark.readStream.schema(eventsRawSchema).parquet(stage.toString))
   }
 
   /** J1/J4: event-time tumbling window aggregate with late-data drop. */
@@ -161,6 +161,10 @@ object StreamingOps {
     * streaming semantic (fingerprint state expires with the watermark, so a
     * 100 TB/day feed never accumulates unbounded dedup state; cross-horizon
     * dups are the batch layer's job, cf. q83).
+    *
+    * The dedup key is (fp, quality_ok), not fp alone: like q83's
+    * gate-passing canonical, a gate-FAILING first copy must not suppress a
+    * later gate-passing duplicate — otherwise the group loses every member.
     * Expects columns: doc_id, ts (event time), text, n_chars. */
   def curationStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
@@ -173,12 +177,13 @@ object StreamingOps {
           .cast("decimal(18,6)").cast("double"))
       .withColumn("fp",
         md5(concat_ws(" ", sort_array(array_distinct(col("toks")))).cast("binary")))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp")
       .withColumn("reason",
         when(col("n_tokens") < 5, "too_short")
           .when(col("mean_tok_len") > 10, "weird_shape")
           .otherwise("ok"))
+      .withColumn("quality_ok", col("reason") === "ok")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp", "quality_ok")
       .withColumn("keep", col("reason") === "ok")
       .select("doc_id", "n_tokens", "fp", "reason", "keep")
 
@@ -196,27 +201,46 @@ object StreamingOps {
       }
       .start()
 
-  /** The merge itself (also the A7 batch exhibit, cf. q47_upsert_merge). */
+  /** The merge itself (also the A7 batch exhibit, cf. q47_upsert_merge).
+    *
+    * Filesystem discipline: every path operation goes through the TARGET's
+    * Hadoop FileSystem (resolved from the path URI — a java.io.File check
+    * would see hdfs:///s3a:// targets as "absent" and wipe history every
+    * batch, and FileSystem.get(conf) would operate on the default FS, not
+    * the target's). The swap is crash-safe: current table moves ASIDE to
+    * .bak (never deleted before the new data is in place), the new data
+    * renames in, then the backup is dropped; a replayed batch after a crash
+    * finds either the table or the backup and merges against it. */
   def upsertBatch(batch: DataFrame, target: String, keyCol: String,
       versionCol: String, tiebreakCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
-    val targetPath = new java.io.File(target)
-    val existing =
-      if (targetPath.exists()) spark.read.parquet(target)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(target)
+    val fs = dst.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(target + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(target + ".tmp")
+    // Crash recovery: a previous run may have died between moving the table
+    // aside and renaming the new version in — the backup is then the truth.
+    val sourcePath =
+      if (fs.exists(dst)) Some(target)
+      else if (fs.exists(bak)) Some(target + ".bak")
+      else None
+    val existing = sourcePath
+      .map(spark.read.parquet(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
     val merged = existing.unionByName(batch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val tmp = target + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(target)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) {
+      fs.delete(bak, true)
+      fs.rename(dst, bak)
+    }
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
   }
 }
