@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout STRAIGHT THROUGH instead of routing it via
+// sbt's logger: the logger prefixes every line with "[info] ", which made
+// the one-line bench JSON arrive as `[info] {...}` — unparseable by the
+// driver (BENCH_r01–r03 all show parsed:null despite a well-formed line).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -68,8 +68,9 @@ def normalize(exp, got):
     driver-killers and are flagged by the caller."""
     for c in exp.columns:
         for df in (exp, got):
-            if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], datetime.date) \
-               and not isinstance(df[c].iloc[0], datetime.datetime):
+            v = first_non_null(df[c])
+            if df[c].dtype == object and isinstance(v, datetime.date) \
+               and not isinstance(v, datetime.datetime):
                 df[c] = pd.to_datetime(df[c])
         if str(exp[c].dtype).startswith("datetime64") and str(got[c].dtype).startswith("datetime64"):
             exp[c] = exp[c].astype("datetime64[us]")
@@ -79,13 +80,20 @@ def normalize(exp, got):
             got[c] = got[c].astype("int64")
     return exp, got
 
+def first_non_null(col):
+    """First non-null cell of a column, or None if all-null/empty. Sniffing
+    iloc[0] alone misses a null-leading Decimal/ndarray driver-killer and
+    skips date normalization on null-leading date columns."""
+    nn = col.dropna() if col.dtype == object else col
+    return nn.iloc[0] if len(nn) else None
+
 def driver_killers(got):
     """Columns whose Spark-side representation is proven to break the
     driver: python Decimal objects (hash mismatch) or ndarray cells (ERR)."""
     bad = []
     for c in got.columns:
-        if got[c].dtype == object and len(got):
-            v = got[c].iloc[0]
+        if got[c].dtype == object:
+            v = first_non_null(got[c])
             if isinstance(v, Decimal):
                 bad.append((c, "Decimal"))
             elif isinstance(v, np.ndarray):

@@ -20,7 +20,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: planner warnings (e.g. WindowExec's no-partition
+    // notice for the tiny-vocabulary windows) repeat per query and can crowd
+    // the driver's bounded tail capture away from the one JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed JIT/codegen warm-up on a FIXED small query (deterministic —
     // Map hash order made round-1 warm-up arbitrary), then one sf-dir scan
     // warm-up so the first timed query doesn't absorb file-listing costs.
@@ -30,25 +33,33 @@ object Bench {
     } catch { case _: Throwable => () }
     // Deterministic execution order (sorted by name) so per-query times are
     // comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A throwing query records time -1 and lands in the "failed" list —
+    // silently recording its time-to-failure would make a fail-fast
+    // regression read as a speedup.
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
+    val results = runs.map { case (n, t, _) => n -> t }
+    val failed = runs.collect { case (n, _, false) => n }
     // Locale.ROOT: a comma-decimal default locale would print 61,234 and
     // break the driver's JSON parse of the one line that matters.
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val slowest = results.sortBy(-_._2).take(15)
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
-      w.println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
+      w.println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)}$failedJson,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(slowest)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(slowest)}$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,14 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared L2 distance between a vector column and a literal centroid. */
+  /** Squared L2 distance between a vector column and a literal centroid.
+    * NaN distances (any non-finite element poisons the whole fold) coalesce
+    * to +Infinity: without this, array_min returns NaN, array_position finds
+    * no equal element, and assignment() would yield cluster -1 — train()
+    * then crashes and search() silently drops the row from every bucket. */
   private def dist2(e: Column, c: Array[Double]): Column = {
     val litC = typedLit(c.toSeq)
     // ||x - c||^2 via one zip fold; graft_dot is for the cosine path — here
     // the subtraction makes a dedicated fold clearer than three dots.
-    aggregate(
-      zip_with(e, litC, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    nanvl(
+      aggregate(
+        zip_with(e, litC, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d),
+      lit(Double.PositiveInfinity))
   }
 
   /** Cluster id (0-based) of the nearest centroid, first-min tie-break. */
@@ -47,17 +53,23 @@ object Ivf {
     * array<double>). Returns nlist×dim centroids (row i = cluster i). */
   def train(vecs: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Array[Array[Double]] = {
+    // Train only on fully-finite vectors: a NaN/Inf coordinate would (a)
+    // poison the decimal mean update (ANSI cast of NaN to decimal throws)
+    // and (b) make a useless centroid. Non-finite vectors still get bucketed
+    // at search time — dist2 coalesces their NaN distances to +Infinity.
+    // isnan(v - v) is true exactly for NaN and ±Infinity.
+    val finite = vecs.filter(forall(col(vecCol), v => !isnan(v - v)))
     // Init from DISTINCT vectors (lowest owning id per vector, lowest ids
     // first): duplicate init vectors would make identical centroids, and
     // the first-min tie-break would starve the later copy into a
     // permanently dead cluster that wastes a probe slot at search time.
-    var centroids: Array[Array[Double]] = vecs
+    var centroids: Array[Array[Double]] = finite
       .groupBy(col(vecCol)).agg(min(col(idCol)).as("__mid"))
       .orderBy(col("__mid")).limit(nlist)
       .select(vecCol).collect()
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val assigned = vecs.withColumn("__c", assignment(col(vecCol), centroids))
+      val assigned = finite.withColumn("__c", assignment(col(vecCol), centroids))
       val means = assigned
         .select(col("__c"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy("__c", "__pos")

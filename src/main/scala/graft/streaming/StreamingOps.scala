@@ -162,9 +162,13 @@ object StreamingOps {
     * 100 TB/day feed never accumulates unbounded dedup state; cross-horizon
     * dups are the batch layer's job, cf. q83).
     *
-    * The dedup key is (fp, quality_ok), not fp alone: like q83's
-    * gate-passing canonical, a gate-FAILING first copy must not suppress a
-    * later gate-passing duplicate — otherwise the group loses every member.
+    * The dedup key is (fp, reason), not fp alone: like q83's gate-passing
+    * canonical, a gate-FAILING first copy must not suppress a later
+    * gate-passing duplicate — otherwise the group loses every member. And
+    * because fp hashes the distinct-token SET (token counts and n_chars
+    * don't feed it), two same-fp docs can fail DIFFERENT gates (too_short
+    * vs weird_shape); keying on the concrete reason keeps one audit row per
+    * distinct failure mode instead of collapsing them to first-seen.
     * Expects columns: doc_id, ts (event time), text, n_chars. */
   def curationStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
     docs
@@ -181,9 +185,8 @@ object StreamingOps {
         when(col("n_tokens") < 5, "too_short")
           .when(col("mean_tok_len") > 10, "weird_shape")
           .otherwise("ok"))
-      .withColumn("quality_ok", col("reason") === "ok")
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp", "quality_ok")
+      .dropDuplicatesWithinWatermark("fp", "reason")
       .withColumn("keep", col("reason") === "ok")
       .select("doc_id", "n_tokens", "fp", "reason", "keep")
 

@@ -157,4 +157,24 @@ class SketchSpec extends AnyFunSuite {
     // tie-breaks make the whole index-and-search path order-independent.
     assert(a == run(), "IVF results must be identical across runs")
   }
+
+  test("IVF tolerates non-finite vectors: train skips them, assignment buckets them") {
+    import graft.functions.Ivf
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.1, 0.0)), (2L, Seq(5.0, 5.0)),
+      (3L, Seq(5.1, 5.0)), (4L, Seq(Double.NaN, 1.0)),
+      (5L, Seq(Double.PositiveInfinity, 2.0))
+    ).toDF("vec_id", "e")
+    // Before the guard this threw (train: ArrayIndexOutOfBounds on cluster
+    // -1; or ANSI cast of NaN to decimal in the mean update).
+    val cents = Ivf.train(vecs, "vec_id", "e", nlist = 2, iters = 2)
+    assert(cents.length == 2 && cents.forall(_.forall(v => !v.isNaN)))
+    // Non-finite rows must land in SOME bucket (dist2 coalesces NaN ->
+    // +Infinity), never the silent -1 that dropped them from every bucket.
+    val assigned = vecs
+      .withColumn("c", Ivf.assignment(col("e"), cents))
+      .select("vec_id", "c").as[(Long, Int)].collect().toMap
+    assert(assigned.size == 6 && assigned.values.forall(c => c >= 0 && c < 2),
+      s"got $assigned")
+  }
 }

@@ -242,7 +242,12 @@ class StreamingSpec extends AnyFunSuite {
         // 5 tokens, 79 chars → mean token length 15.8 → weird_shape
         Doc(4, ts("2024-01-01 10:00:03"),
           "aaaaaaaaaaaaaaa bbbbbbbbbbbbbbb ccccccccccccccc ddddddddddddddd eeeeeeeeeeeeeee", 79L),
-        Doc(5, ts("2024-01-01 10:00:04"), "five clean tokens pass gates", 28L))
+        Doc(5, ts("2024-01-01 10:00:04"), "five clean tokens pass gates", 28L),
+        // same distinct-token SET as doc 3 (fp ignores counts/n_chars) but a
+        // DIFFERENT failing gate: 5 tokens, declared 99 chars → mean 19.8 →
+        // weird_shape. Keying the dedup on (fp, reason) keeps one audit row
+        // per failure mode — doc 3 must not suppress this one.
+        Doc(6, ts("2024-01-01 10:00:05"), "doc doc doc doc tiny", 99L))
       q.processAllAvailable()
       val out = spark.table("curation").select("doc_id", "reason", "keep")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
@@ -251,7 +256,8 @@ class StreamingSpec extends AnyFunSuite {
         // doc 2 absent: dropped by dropDuplicatesWithinWatermark
         (3L, "too_short", false),
         (4L, "weird_shape", false),
-        (5L, "ok", true)), s"got $out")
+        (5L, "ok", true),
+        (6L, "weird_shape", false)), s"got $out")
     } finally q.stop()
   }
 }
