@@ -27,7 +27,8 @@ object Registry {
       operators.SketchQueries.defs ++
       operators.AnalyticsQueries.defs ++
       operators.SketchJoinQueries.defs ++
-      operators.CurationQueries.defs
+      operators.CurationQueries.defs ++
+      operators.PretrainQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

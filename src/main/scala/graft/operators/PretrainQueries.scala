@@ -1,0 +1,270 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pretraining-mix preparation operators — the steps between a curated
+  * corpus (q80–q85) and the tokenizer/dataloader: sequence packing, PII
+  * redaction, repetition-quality signals, and the per-language sampling
+  * mixture.
+  *
+  * Scale notes per query:
+  *   - q87 packing: the global token prefix-sum is the only op here that is
+  *     sequential in nature; it is computed with the standard two-level
+  *     distributed scan (per-shard window + tiny shard-offset table), NOT a
+  *     single-partition window over the corpus.
+  *   - q88/q89: linear per-row expression pipelines / explode+agg — shuffle
+  *     only on doc_id, uniformly distributed.
+  *   - q90: one groupBy(lang) over the corpus (map-side partial aggregation
+  *     reduces it to #langs rows per partition) then arithmetic on the
+  *     #langs-row result.
+  *
+  * Determinism: ratios round through DECIMAL then cast DOUBLE (the Q.out*
+  * contract); q90 sums decimal-rounded square roots so the denominator is
+  * exact and order-independent (a raw double SUM would expose the engines'
+  * addition order).
+  */
+object PretrainQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  /** Context length for q87's concat-and-chunk packing. A power of two, so
+    * even the oracle's floating-point fallback `floor(x / 256)` would be
+    * exact — we still use integer division on both sides. */
+  private val Ctx = 256
+
+  /** Docs per prefix-sum shard in q87. At 100 TB raise this to ~2^20 so the
+    * shard-offset table (corpus_size / ShardSize rows) stays driver-/
+    * broadcast-sized while per-shard windows remain parallel. */
+  private val ShardSize = 100L
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    // ---- q87: GPT-style concat-and-chunk sequence packing. Documents are
+    // laid end-to-end in doc_id order and cut into Ctx-token windows; each
+    // doc's start offset is the exclusive prefix-sum of token counts. The
+    // prefix-sum is distributed: a per-shard running total (window
+    // PARTITIONED by shard — parallel) plus an exclusive scan over the tiny
+    // per-shard totals table, broadcast back. Output: per-pack occupancy
+    // stats + how many docs straddle a window boundary (those lose a
+    // fraction of their tokens to truncated attention spans). ----
+    QueryDef(
+      "q87_sequence_packing",
+      (s, dir) => {
+        val t = docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            (col("doc_id") / ShardSize).cast("long").as("shard"))
+        val wShardRun = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = t.withColumn("local_start",
+          coalesce(sum(col("n_tokens")).over(wShardRun), lit(0L)))
+        // Exclusive scan over shard totals: #docs/ShardSize rows, so the
+        // unpartitioned window is bounded by construction (see ShardSize).
+        val wShards = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = t.groupBy("shard")
+          .agg(sum(col("n_tokens")).as("shard_toks"))
+          .withColumn("shard_off",
+            coalesce(sum(col("shard_toks")).over(wShards), lit(0L)))
+          .select("shard", "shard_off")
+        local.join(broadcast(offsets), Seq("shard"))
+          .withColumn("st", col("shard_off") + col("local_start"))
+          .withColumn("pack_id", expr(s"st DIV $Ctx"))
+          .withColumn("straddles",
+            expr(s"(st + n_tokens - 1) DIV $Ctx") > col("pack_id"))
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+          .orderBy("pack_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        placed AS (
+          -- CAST: DuckDB's windowed SUM(BIGINT) yields HUGEINT, and HUGEINT
+          -- arithmetic would surface as float64 in the driver's dataframe.
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+          FROM t
+        )
+        SELECT st // $Ctx AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN (st + n_tokens - 1) // $Ctx > st // $Ctx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM placed
+        GROUP BY pack_id
+        ORDER BY pack_id
+      """.stripMargin.trim)),
+
+    // ---- q88: PII redaction. The synthetic corpus carries no PII, so the
+    // exhibit first APPENDS deterministic fixture PII (an email for every
+    // 3rd doc, a phone for every 5th — derived from doc_id, identical SQL on
+    // both sides), then runs the actual operator: count + redact via regex.
+    // The regexes stay in the Java-regex ∩ RE2 common subset (char classes,
+    // bounded repetition) so Spark and DuckDB match identically. Per-row
+    // codegen'd expressions — linear at any scale. ----
+    QueryDef(
+      "q88_pii_redaction",
+      (s, dir) => {
+        val email = "[a-z0-9.]+@[a-z0-9.]+"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        docs(s, dir)
+          .withColumn("raw", concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" user"), col("doc_id").cast("string"), lit("@mail.example")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+          .withColumn("n_emails",
+            size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long"))
+          .withColumn("n_phones",
+            size(regexp_extract_all(col("raw"), lit(phone), lit(0))).cast("long"))
+          .withColumn("clean",
+            regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"), phone, "<PHONE>"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            length(col("clean")).cast("long").as("n_clean_chars"),
+            md5(col("clean").cast("binary")).as("clean_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH aug AS (
+          -- NOTE: no line may START with '||' — this literal goes through
+          -- stripMargin, which would eat the first pipe.
+          SELECT doc_id,
+                 concat(text,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN concat(' user', CAST(doc_id AS VARCHAR), '@mail.example')
+                        ELSE '' END,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN concat(' 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                        ELSE '' END) AS raw
+          FROM documents
+        ),
+        red AS (
+          SELECT doc_id, raw,
+                 regexp_replace(
+                   regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+          FROM aug
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                 AS n_phones,
+               CAST(length(clean) AS BIGINT) AS n_clean_chars,
+               md5(clean) AS clean_fp
+        FROM red
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- q89: repetition-quality signals — the n-gram-free cousins of the
+    // quality gate: distinct-token ratio (low = copy-paste spam) and the
+    // share of the single most frequent token (high = boilerplate). One
+    // explode → groupBy(doc_id, tok) → groupBy(doc_id): both shuffles are
+    // keyed by doc_id(+token), uniformly distributed at any corpus size. ----
+    QueryDef(
+      "q89_repetition_signals",
+      (s, dir) => {
+        val counts = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        counts.groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_count"))
+          .withColumn("distinct_ratio",
+            (col("n_distinct").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double"))
+          .withColumn("top_share",
+            (col("top_count").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double"))
+          .withColumn("repetitive", col("top_share") > 0.2)
+          .select("doc_id", "n_tokens", "n_distinct", "top_count",
+            "distinct_ratio", "top_share", "repetitive")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+        ),
+        agg AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct,
+                 CAST(MAX(c) AS BIGINT) AS top_count
+          FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct, top_count,
+               CAST(CAST(CAST(n_distinct AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS DOUBLE)
+                 AS distinct_ratio,
+               CAST(CAST(CAST(top_count AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS DOUBLE)
+                 AS top_share,
+               CAST(CAST(CAST(top_count AS DOUBLE) / n_tokens AS DECIMAL(18,6)) AS DOUBLE) > 0.2
+                 AS repetitive
+        FROM agg
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- q90: temperature-based language mixture (the multilingual
+    // up/down-sampling step): weight_l ∝ n_l^alpha with alpha = 0.5 — sqrt
+    // because IEEE sqrt is correctly rounded (bit-identical across engines),
+    // unlike pow(x, 0.3) whose libm results may differ by an ulp. Each sqrt
+    // is rounded to DECIMAL(28,12) BEFORE summing, so the denominator is an
+    // exact decimal sum — order-independent, immune to each engine's
+    // double-addition order. floor (not round) for the target counts: floor
+    // of the same double is identical everywhere; round's half-way rule is
+    // not worth depending on. ----
+    QueryDef(
+      "q90_language_mixture",
+      (s, dir) => {
+        val wAll = Window.partitionBy(lit(1))
+        docs(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("s_dec",
+            sqrt(col("n_docs").cast("double")).cast("decimal(28,12)"))
+          .withColumn("denom", sum(col("s_dec")).over(wAll))
+          .withColumn("weight",
+            (col("s_dec").cast("double") / col("denom").cast("double"))
+              .cast("decimal(18,6)").cast("double"))
+          .withColumn("target_docs",
+            floor(col("weight") * 10000).cast("long"))
+          .select("lang", "n_docs", "weight", "target_docs")
+          .orderBy("lang")
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        r AS (
+          SELECT lang, n_docs,
+                 CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS s_dec
+          FROM c
+        ),
+        d AS (
+          SELECT *, SUM(s_dec) OVER () AS denom FROM r
+        )
+        SELECT lang, n_docs,
+               CAST(CAST(CAST(s_dec AS DOUBLE) / CAST(denom AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS weight,
+               CAST(floor(CAST(CAST(CAST(s_dec AS DOUBLE) / CAST(denom AS DOUBLE)
+                 AS DECIMAL(18,6)) AS DOUBLE) * 10000) AS BIGINT) AS target_docs
+        FROM d
+        ORDER BY lang
+      """.stripMargin.trim))
+  )
+}

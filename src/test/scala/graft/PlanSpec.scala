@@ -80,6 +80,26 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by fp (well-distributed key):\n$p")
   }
 
+  test("q87 packing prefix-sum windows partition by shard, never the corpus") {
+    val p = planOf("q87_sequence_packing")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the corpus-sized running total must be a per-shard window:\n$p")
+    // The only SinglePartition window allowed is the exclusive scan over the
+    // per-shard totals (corpus_size / ShardSize rows, bounded by design) —
+    // the corpus itself must never funnel through one partition.
+    assert("SinglePartition".r.findAllIn(p).size <= 2,
+      s"unexpected extra single-partition exchange:\n$p")
+    // Conservation: every doc starts in exactly one pack; token mass is
+    // preserved through the shard decomposition.
+    val docs = Tables.read(spark, TestSpark.sf0001, "documents")
+    val total = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    val packed = Registry.queries("q87_sequence_packing")(spark, TestSpark.sf0001)
+      .select(sum("n_docs").cast("long"), sum("n_tokens").cast("long")).head
+    assert(packed.getLong(0) == docs.count(), "every doc lands in one pack")
+    assert(packed.getLong(1) == total, "token mass is conserved")
+  }
+
   test("no declared query plans an unbounded cartesian join") {
     // Cross/nested-loop joins are allowed only where one side is provably
     // bounded and documented as such at the query site:
