@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * Everything is DETERMINISTIC by construction (the engine's verification
   * model requires byte-stable outputs):
   *   - centroid init = the nlist lowest-id vectors (no random seeding);
-  *   - assignment = argmin of exact squared L2, ties broken by centroid id
-  *     (array_position returns the FIRST minimum);
+  *   - assignment = argmin of a squared-L2-equivalent score (see
+  *     centroidScore), ties broken by centroid id (array_position returns
+  *     the FIRST minimum);
   *   - centroid update sums coordinates through DECIMAL(28,14) — decimal
   *     addition is exact and order-independent, so shuffle order cannot
   *     perturb the means by an ulp and flip a boundary assignment.
@@ -26,26 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Squared L2 distance between a vector column and a literal centroid.
-    * NaN distances (any non-finite element poisons the whole fold) coalesce
+  /** Centroid-ranking score: c·c − 2·(x·c), the squared-L2 distance with the
+    * per-row x·x term dropped. That term is constant across centroids for a
+    * given row, so argmin (assignment) and per-row sort order (probe
+    * selection) are identical to ranking by ||x − c||² — and the dot product
+    * runs through the codegen'd graft_dot expression instead of an
+    * interpreted zip_with/aggregate fold (Spark HOFs are CodegenFallback;
+    * the fold dominated q86's runtime: 8 centroids × dim per row, boxed).
+    *
+    * NaN scores (any non-finite element poisons the dot product) coalesce
     * to +Infinity: without this, array_min returns NaN, array_position finds
     * no equal element, and assignment() would yield cluster -1 — train()
-    * then crashes and search() silently drops the row from every bucket. */
-  private def dist2(e: Column, c: Array[Double]): Column = {
-    val litC = typedLit(c.toSeq)
-    // ||x - c||^2 via one zip fold; graft_dot is for the cosine path — here
-    // the subtraction makes a dedicated fold clearer than three dots.
+    * then crashes and search() silently drops the row from every bucket.
+    * Callers must have graft_dot registered (train/search do this). */
+  private def centroidScore(e: Column, c: Array[Double]): Column = {
+    var cc = 0.0
+    var i = 0
+    while (i < c.length) { cc += c(i) * c(i); i += 1 }
     nanvl(
-      aggregate(
-        zip_with(e, litC, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d),
+      lit(cc) - lit(2.0) * call_function("graft_dot", e, typedLit(c.toSeq)),
       lit(Double.PositiveInfinity))
   }
 
   /** Cluster id (0-based) of the nearest centroid, first-min tie-break. */
   def assignment(e: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = array(centroids.map(c => dist2(e, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    val scores = array(centroids.map(c => centroidScore(e, c)): _*)
+    (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
   /** Deterministic k-means: init = nlist lowest-id vectors, `iters` rounds
@@ -53,12 +60,19 @@ object Ivf {
     * array<double>). Returns nlist×dim centroids (row i = cluster i). */
   def train(vecs: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): Array[Array[Double]] = {
+    graft.plans.VectorFunctions.register(vecs.sparkSession)
     // Train only on fully-finite vectors: a NaN/Inf coordinate would (a)
     // poison the decimal mean update (ANSI cast of NaN to decimal throws)
     // and (b) make a useless centroid. Non-finite vectors still get bucketed
     // at search time — dist2 coalesces their NaN distances to +Infinity.
     // isnan(v - v) is true exactly for NaN and ±Infinity.
+    //
+    // Persist: the training set is consumed by iters+1 driver actions (init
+    // + one mean-update collect per iteration), each of which would
+    // otherwise re-scan the source and redo the upstream transforms. The
+    // cache is released before returning — train() is action-complete.
     val finite = vecs.filter(forall(col(vecCol), v => !isnan(v - v)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Init from DISTINCT vectors (lowest owning id per vector, lowest ids
     // first): duplicate init vectors would make identical centroids, and
     // the first-min tie-break would starve the later copy into a
@@ -83,6 +97,7 @@ object Ivf {
       // clusters that captured no vectors keep their previous centroid
       centroids = next
     }
+    finite.unpersist(blocking = false)
     centroids
   }
 
@@ -96,9 +111,13 @@ object Ivf {
       centroids: Array[Array[Double]], nprobe: Int, k: Int,
       idCol: String = "vec_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.plans.VectorFunctions.register(corpus.sparkSession)
     val indexed = corpus.withColumn("__c", assignment(col("e"), centroids))
-    // nprobe nearest buckets per query, as rows (query replicated nprobe×):
-    val dists = array(centroids.map(c => dist2(col("e"), c)): _*)
+    // nprobe nearest buckets per query, as rows (query replicated nprobe×).
+    // centroidScore ranks identically to true squared distance within a row
+    // (the dropped x·x term is per-row constant), which is all the probe
+    // selection needs.
+    val dists = array(centroids.map(c => centroidScore(col("e"), c)): _*)
     val probed = queries
       .withColumn("__dists", dists)
       .withColumn("__order",
