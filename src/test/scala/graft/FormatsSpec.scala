@@ -27,6 +27,14 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
   }
 
+  test("A3: ORC round-trip preserves the nation table") {
+    val nation = Tables.read(spark, TestSpark.sf0001, "nation")
+    val path = tmp("orc")
+    nation.write.orc(path)
+    val back = spark.read.schema(nation.schema).orc(path)
+    assert(back.exceptAll(nation).isEmpty && nation.exceptAll(back).isEmpty)
+  }
+
   test("A2: parquet sink round-trip") {
     val region = Tables.read(spark, TestSpark.sf0001, "region")
     val path = tmp("parquet")
