@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 
 /** Pretraining-mix preparation operators — the steps between a curated
   * corpus (q80–q85) and the tokenizer/dataloader: sequence packing, PII
-  * redaction, repetition-quality signals, and the per-language sampling
-  * mixture.
+  * redaction, repetition-quality signals, the per-language sampling
+  * mixture, quota selection, source-level mix stats, and cross-document
+  * boilerplate detection.
   *
   * Scale notes per query:
   *   - q87 packing: the global token prefix-sum is the only op here that is
@@ -21,6 +22,17 @@ import org.apache.spark.sql.functions._
   *   - q90: one groupBy(lang) over the corpus (map-side partial aggregation
   *     reduces it to #langs rows per partition) then arithmetic on the
   *     #langs-row result.
+  *   - q91 quota selection: exact per-language top-quota by hash order
+  *     WITHOUT a per-language global window (which would put one language =
+  *     one partition at corpus scale): ranks are computed per (lang, hash
+  *     prefix bucket) — parallel — and offset by an exclusive scan over the
+  *     tiny (#langs × 256)-row bucket-count table, the same two-level trick
+  *     as q87's prefix sum.
+  *   - q92: two linear aggregations (fingerprint counts, per-source stats);
+  *     every shuffle is keyed by fp or source.
+  *   - q93: the classic shingle→document-frequency map-reduce — explode is
+  *     linear, both shuffles are keyed by (doc_id, shingle) or shingle,
+  *     uniformly distributed; nothing is quadratic in the corpus.
   *
   * Determinism: ratios round through DECIMAL then cast DOUBLE (the Q.out*
   * contract); q90 sums decimal-rounded square roots so the denominator is
@@ -265,6 +277,220 @@ object PretrainQueries {
                  AS DECIMAL(18,6)) AS DOUBLE) * 10000) AS BIGINT) AS target_docs
         FROM d
         ORDER BY lang
+      """.stripMargin.trim)),
+
+    // ---- q91: deterministic quota selection — materializes q90's mixture
+    // into an actual per-language document pick. Selection order is
+    // md5(doc_id): uniform, deterministic, engine-agnostic. The exact
+    // global-per-language rank is computed WITHOUT Window.partitionBy(lang)
+    // over the corpus (at 100 TB one language = one partition): rank within
+    // (lang, 2-hex-char hash bucket) — 256 ordered buckets, parallel — plus
+    // an exclusive bucket-count scan over the #langs×256-row table,
+    // broadcast back. Fixed-length lowercase hex means (bucket, rest)
+    // ordering equals full-hash ordering, so the two-level rank is exactly
+    // the single-window rank the oracle computes. ----
+    QueryDef(
+      "q91_quota_sampling",
+      (s, dir) => {
+        val budget = 200
+        val quotas = docs(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("s_dec",
+            sqrt(col("n_docs").cast("double")).cast("decimal(28,12)"))
+          .withColumn("denom", sum(col("s_dec")).over(Window.partitionBy(lit(1))))
+          .withColumn("weight",
+            (col("s_dec").cast("double") / col("denom").cast("double"))
+              .cast("decimal(18,6)").cast("double"))
+          .select(col("lang"),
+            floor(col("weight") * budget).cast("long").as("quota"))
+        val keyed = docs(s, dir).select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+          .withColumn("bucket", substring(col("h"), 1, 2))
+        val wBucket = Window.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+        val ranked = keyed.withColumn("local_rk", row_number().over(wBucket))
+        // Exclusive scan over per-(lang,bucket) counts: ≤ 256 rows per lang.
+        val wScan = Window.partitionBy("lang").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = keyed.groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("before", coalesce(sum(col("n")).over(wScan), lit(0L)))
+          .select("lang", "bucket", "before")
+        ranked.join(broadcast(offsets), Seq("lang", "bucket"))
+          .withColumn("sel_rank", (col("before") + col("local_rk")).cast("long"))
+          .join(broadcast(quotas), Seq("lang"))
+          .filter(col("sel_rank") <= col("quota"))
+          .select("doc_id", "lang", "sel_rank")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        r AS (
+          SELECT lang, n_docs,
+                 CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,12)) AS s_dec
+          FROM c
+        ),
+        d AS (
+          SELECT *, SUM(s_dec) OVER () AS denom FROM r
+        ),
+        q AS (
+          SELECT lang,
+                 CAST(floor(CAST(CAST(CAST(s_dec AS DOUBLE) / CAST(denom AS DOUBLE)
+                   AS DECIMAL(18,6)) AS DOUBLE) * 200) AS BIGINT) AS quota
+          FROM d
+        ),
+        rk AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sel_rank
+          FROM documents
+        )
+        SELECT rk.doc_id, rk.lang, CAST(rk.sel_rank AS BIGINT) AS sel_rank
+        FROM rk JOIN q USING (lang)
+        WHERE rk.sel_rank <= q.quota
+        ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- q92: source-level mix statistics — the domain-filtering step of a
+    // web-corpus pipeline (per-domain volume, duplication rate, and a
+    // blocklist gate deciding which sources enter the mix). Duplication is
+    // corpus-wide: a doc is a duplicate if its exact text fingerprint occurs
+    // more than once ANYWHERE, attributed back to each source. Two linear
+    // aggregations; the corpus-total window runs over the 20-row source
+    // table. ----
+    QueryDef(
+      "q92_source_mix",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            md5(col("text").cast("binary")).as("fp"))
+        val fpCounts = d.groupBy("fp").agg(count(lit(1)).as("fp_n"))
+        val stats = d.join(fpCounts, Seq("fp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("fp_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(col("n_chars")).as("total_chars"))
+        stats
+          .withColumn("corpus_docs",
+            sum(col("n_docs")).over(Window.partitionBy(lit(1))))
+          .select(col("source"), col("n_docs"), col("n_dup_docs"),
+            col("total_chars"),
+            graft.operators.Q.out2(
+              col("total_chars").cast("double") / col("n_docs")).as("mean_chars"),
+            graft.operators.Q.out6(
+              col("n_dup_docs").cast("double") / col("n_docs")).as("dup_share"),
+            graft.operators.Q.out6(
+              col("n_docs").cast("double") / col("corpus_docs")).as("corpus_share"),
+            col("source").isin("src3", "src7").as("blocked"))
+          .withColumn("keep", !col("blocked") && col("dup_share") < 0.9)
+          .orderBy("source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, n_chars, md5(text) AS fp FROM documents
+        ),
+        fpc AS (
+          SELECT fp, COUNT(*) AS fp_n FROM d GROUP BY fp
+        ),
+        stats AS (
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN fp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM d JOIN fpc USING (fp)
+          GROUP BY source
+        ),
+        tot AS (
+          SELECT *, SUM(n_docs) OVER () AS corpus_docs FROM stats
+        )
+        SELECT source, n_docs, n_dup_docs, total_chars,
+               CAST(CAST(CAST(total_chars AS DOUBLE) / n_docs AS DECIMAL(38,2))
+                 AS DOUBLE) AS mean_chars,
+               CAST(CAST(CAST(n_dup_docs AS DOUBLE) / n_docs AS DECIMAL(38,6))
+                 AS DOUBLE) AS dup_share,
+               CAST(CAST(CAST(n_docs AS DOUBLE) / corpus_docs AS DECIMAL(38,6))
+                 AS DOUBLE) AS corpus_share,
+               source IN ('src3', 'src7') AS blocked,
+               (source NOT IN ('src3', 'src7'))
+                 AND CAST(CAST(CAST(n_dup_docs AS DOUBLE) / n_docs
+                   AS DECIMAL(38,6)) AS DOUBLE) < 0.9 AS keep
+        FROM tot
+        ORDER BY source
+      """.stripMargin.trim)),
+
+    // ---- q93: cross-document boilerplate detection — the shingle-level
+    // cousin of line-dedup (CCNet-style): a 3-token shingle occurring in
+    // many DISTINCT documents is boilerplate (headers, navigation chrome,
+    // license blurbs); each document reports what share of its distinct
+    // shingles is boilerplate. Pure map-reduce: explode shingles (linear),
+    // distinct (doc, shingle) pairs, document-frequency groupBy(shingle),
+    // join back keyed by shingle — both shuffles uniform, nothing quadratic.
+    // Docs with <3 tokens produce no shingles and come back via the left
+    // join with zeros. ----
+    QueryDef(
+      "q93_boilerplate_shingles",
+      (s, dir) => {
+        val dfThreshold = 10
+        val base = docs(s, dir).withColumn("toks", split(col("text"), " "))
+        val pairs = base
+          .select(col("doc_id"), explode(
+            when(size(col("toks")) >= 3,
+              expr("""transform(sequence(1, size(toks) - 2),
+                      i -> concat_ws(' ', element_at(toks, i),
+                                     element_at(toks, i + 1),
+                                     element_at(toks, i + 2)))"""))
+              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("shingle"))
+          .distinct()
+        val docFreq = pairs.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+        val perDoc = pairs.join(docFreq, Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") >= dfThreshold, 1L).otherwise(0L)).as("n_boiler"))
+        base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+            coalesce(
+              graft.operators.Q.out6(
+                col("n_boiler").cast("double") / col("n_shingles")),
+              lit(0.0)).as("boiler_share"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM tok WHERE len(toks) >= 3)
+        ),
+        pairs AS (
+          SELECT DISTINCT doc_id, shingle FROM sh
+        ),
+        docfreq AS (
+          SELECT shingle, COUNT(*) AS df FROM pairs GROUP BY shingle
+        ),
+        perdoc AS (
+          SELECT doc_id,
+                 COUNT(*) AS n_shingles,
+                 CAST(SUM(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler
+          FROM pairs JOIN docfreq USING (shingle)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               COALESCE(p.n_shingles, 0) AS n_shingles,
+               COALESCE(p.n_boiler, 0) AS n_boiler,
+               COALESCE(CAST(CAST(CAST(p.n_boiler AS DOUBLE) / p.n_shingles
+                 AS DECIMAL(38,6)) AS DOUBLE), 0.0) AS boiler_share
+        FROM tok t LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY t.doc_id
       """.stripMargin.trim))
   )
 }

@@ -208,6 +208,26 @@ object VectorQueries {
           .orderBy("q_id", "rank")
       }),
 
+    // ---- Semantic dedup (SemDeDup-style): IVF k-means clusters bound the
+    // pairwise cosine work to within-cluster, then leader dedup drops every
+    // vector with a lower-id near-twin in its cluster. The scale path for
+    // meaning-level dedup — cluster-bucketed, never corpus×corpus.
+    // Threshold 0.3 is FIXTURE-DRIVEN: the synthetic embeddings are
+    // near-orthogonal (max pairwise cosine ≈ 0.48 at sf0.001), so a
+    // production-style 0.95 never fires; 0.3 keeps the drop path exercised
+    // end-to-end. Non-oracle (k-means is not SQL-expressible); the drop
+    // rule is brute-force-checked in SketchSpec. ----
+    QueryDef(
+      "q94_semantic_dedup",
+      (s, dir) => {
+        graft.plans.VectorFunctions.register(s)
+        val v = Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"), expr(toDouble).as("e"))
+          .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+        val centroids = graft.functions.Ivf.train(v, "vec_id", "e", nlist = 8, iters = 3)
+        graft.functions.SemanticDedup.summary(v, centroids, threshold = 0.3)
+      }),
+
     // ---- Embedding int8-style quantization (training-data compression):
     // per-vector min/max affine quantization to 0..255, then reconstruction
     // error. floor(x + 0.5) instead of round() — Spark rounds doubles

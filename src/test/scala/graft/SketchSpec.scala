@@ -158,6 +158,48 @@ class SketchSpec extends AnyFunSuite {
     assert(a == run(), "IVF results must be identical across runs")
   }
 
+  test("semantic dedup: leader drop rule matches a brute-force check and is deterministic") {
+    import graft.functions.{Ivf, SemanticDedup}
+    graft.plans.VectorFunctions.register(spark)
+    val v = graft.sources.Tables.read(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
+    val cents = Ivf.train(v, "vec_id", "e", nlist = 8, iters = 3)
+    // 0.3, not a production 0.95: the synthetic embeddings are
+    // near-orthogonal (max pairwise cosine ≈ 0.48), see the q94 comment.
+    val t = 0.3
+    val got = SemanticDedup.dropped(v, cents, t)
+      .select("vec_id").as[Long].collect().toSet
+    // Brute force on the driver (sf0.001 = 500 vectors): drop v iff some
+    // lower-id vector in the same cluster has cosine > t.
+    val rows = v.withColumn("c", Ivf.assignment(col("e"), cents))
+      .select("vec_id", "e", "c").as[(Long, Seq[Double], Int)]
+      .collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val want = (for {
+      (aId, ae, ac) <- rows
+      (bId, be, bc) <- rows
+      if bId < aId && bc == ac
+      c = cos(ae, be)
+      if !c.isNaN && c > t
+    } yield aId).toSet
+    assert(got == want,
+      s"leader-drop mismatch: extra=${got -- want} missing=${want -- got}")
+    assert(want.nonEmpty, "fixture should contain at least one semantic dup")
+    // Summary must reconcile and be byte-stable across runs.
+    def summ() = Registry.queries("q94_semantic_dedup")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val s1 = summ()
+    assert(s1.map(_._2).sum == rows.length.toLong)
+    assert(s1.map(_._3).sum == want.size.toLong)
+    assert(s1.forall { case (_, n, d, k) => n == d + k })
+    assert(s1 == summ(), "semantic dedup must be deterministic")
+  }
+
   test("IVF tolerates non-finite vectors: train skips them, assignment buckets them") {
     import graft.functions.Ivf
     val vecs = Seq(
