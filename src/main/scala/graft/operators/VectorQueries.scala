@@ -200,7 +200,7 @@ object VectorQueries {
         val v = Tables.read(s, dir, "embeddings")
           .select(col("vec_id"), expr(toDouble).as("e"))
           .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
-        val centroids = graft.functions.Ivf.train(v, "vec_id", "e", nlist = 8, iters = 3)
+        val centroids = graft.functions.Ivf.trainCached(v, "vec_id", "e", nlist = 8, iters = 3, cacheKey = dir)
         val q = v.filter(col("vec_id") < 20)
         graft.functions.Ivf.search(v, q, centroids, nprobe = 3, k = 5)
           .select(col("q_id"), col("rank"), col("nb_id"),
@@ -224,7 +224,7 @@ object VectorQueries {
         val v = Tables.read(s, dir, "embeddings")
           .select(col("vec_id"), expr(toDouble).as("e"))
           .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
-        val centroids = graft.functions.Ivf.train(v, "vec_id", "e", nlist = 8, iters = 3)
+        val centroids = graft.functions.Ivf.trainCached(v, "vec_id", "e", nlist = 8, iters = 3, cacheKey = dir)
         graft.functions.SemanticDedup.summary(v, centroids, threshold = 0.3)
       }),
 
