@@ -44,9 +44,12 @@ object Ivf {
     var cc = 0.0
     var i = 0
     while (i < c.length) { cc += c(i) * c(i); i += 1 }
-    nanvl(
-      lit(cc) - lit(2.0) * call_function("graft_dot", e, typedLit(c.toSeq)),
-      lit(Double.PositiveInfinity))
+    val s = lit(cc) - lit(2.0) * call_function("graft_dot", e, typedLit(c.toSeq))
+    // s - s is NaN exactly when s is NaN OR ±Infinity: an Inf coordinate
+    // makes the dot product ±Inf (not NaN), and a score of -Inf would WIN
+    // argmin — the degenerate vector must rank behind every finite score
+    // for every centroid, so all non-finite scores coalesce to +Infinity.
+    when(isnan(s - s), lit(Double.PositiveInfinity)).otherwise(s)
   }
 
   /** Cluster id (0-based) of the nearest centroid, first-min tie-break. */
@@ -58,19 +61,23 @@ object Ivf {
   /** Session-lifetime index cache for trainCached. Trained centroids are a
     * few KB (nlist × dim doubles); entries live for the JVM. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Int), Array[Array[Double]]]()
 
-  /** train(), memoized per (cacheKey, nlist, iters) — the index-catalog
-    * pattern: a production vector store trains its IVF index once and every
-    * consumer (ANN search, semantic dedup, cluster analytics) reuses it,
-    * rather than re-running k-means per query. Callers pass the source
-    * directory as cacheKey; the test datasets are immutable per path, which
-    * is the documented cache-coherence contract (a mutable corpus would key
-    * on a snapshot/version id instead). Training is deterministic, so a
-    * cache hit is byte-identical to a retrain. */
+  /** train(), memoized per (cacheKey, idCol, vecCol, nlist, iters) — the
+    * index-catalog pattern: a production vector store trains its IVF index
+    * once and every consumer (ANN search, semantic dedup, cluster
+    * analytics) reuses it, rather than re-running k-means per query.
+    * Callers pass the source directory as cacheKey; the test datasets are
+    * immutable per path, which is the documented cache-coherence contract
+    * (a mutable corpus would key on a snapshot/version id instead).
+    * CALLER CONTRACT: the key does not see the DataFrame itself, so two
+    * callers with the same (cacheKey, cols) must prepare vectors
+    * IDENTICALLY — a caller that normalizes/truncates differently must use
+    * a distinct cacheKey. Training is deterministic, so a cache hit is
+    * byte-identical to a retrain. */
   def trainCached(vecs: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int, cacheKey: String): Array[Array[Double]] =
-    indexCache.computeIfAbsent((cacheKey, nlist, iters),
+    indexCache.computeIfAbsent((cacheKey, idCol, vecCol, nlist, iters),
       _ => train(vecs, idCol, vecCol, nlist, iters))
 
   /** Deterministic k-means: init = nlist lowest-id vectors, `iters` rounds
@@ -95,28 +102,34 @@ object Ivf {
     // first): duplicate init vectors would make identical centroids, and
     // the first-min tie-break would starve the later copy into a
     // permanently dead cluster that wastes a probe slot at search time.
-    var centroids: Array[Array[Double]] = finite
-      .groupBy(col(vecCol)).agg(min(col(idCol)).as("__mid"))
-      .orderBy(col("__mid")).limit(nlist)
-      .select(vecCol).collect()
-      .map(_.getSeq[Double](0).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = finite.withColumn("__c", assignment(col(vecCol), centroids))
-      val means = assigned
-        .select(col("__c"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
-        .groupBy("__c", "__pos")
-        .agg((sum(col("__v").cast("decimal(28,14)")) / count(lit(1)))
-          .cast("double").as("__mean"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+    // try/finally: Bench (and other drivers) catch per-query exceptions and
+    // keep going — a throw mid-train must not leak the persisted training
+    // set into the block manager for the rest of the JVM.
+    try {
+      var centroids: Array[Array[Double]] = finite
+        .groupBy(col(vecCol)).agg(min(col(idCol)).as("__mid"))
+        .orderBy(col("__mid")).limit(nlist)
+        .select(vecCol).collect()
+        .map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until iters) {
+        val assigned = finite.withColumn("__c", assignment(col(vecCol), centroids))
+        val means = assigned
+          .select(col("__c"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+          .groupBy("__c", "__pos")
+          .agg((sum(col("__v").cast("decimal(28,14)")) / count(lit(1)))
+            .cast("double").as("__mean"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        // clusters that captured no vectors keep their previous centroid
+        centroids = next
       }
-      // clusters that captured no vectors keep their previous centroid
-      centroids = next
+      centroids
+    } finally {
+      finite.unpersist(blocking = false)
     }
-    finite.unpersist(blocking = false)
-    centroids
   }
 
   /** Top-k cosine neighbors per query via nprobe-bucket search.

@@ -27,12 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
-  /** Distinct (cluster, vec_id) rows for every DROPPED vector.
-    * vecs: (vec_id, e: array<double>, nrm) — the q86 corpus shape. */
-  def dropped(vecs: DataFrame, centroids: Array[Array[Double]],
-      threshold: Double): DataFrame = {
+  /** (vec_id, e, nrm, c): the corpus with its cluster assignment — computed
+    * ONCE and shared by both consumers below (the assignment projection
+    * walks the nlist×dim centroid-score array per row; recomputing it per
+    * consumer would multiply the dominant per-row cost). */
+  private def clustered(vecs: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
     graft.plans.VectorFunctions.register(vecs.sparkSession)
-    val cl = vecs.withColumn("c", Ivf.assignment(col("e"), centroids))
+    vecs.withColumn("c", Ivf.assignment(col("e"), centroids))
+  }
+
+  /** Distinct (c, vec_id) rows for every DROPPED vector, from a
+    * pre-clustered corpus (see clustered()). */
+  private def droppedFrom(cl: DataFrame, threshold: Double): DataFrame = {
     val hi = cl.select(col("c"), col("vec_id").as("a_id"),
       col("e").as("ae"), col("nrm").as("anrm"))
     val lo = cl.select(col("c"), col("vec_id").as("b_id"),
@@ -46,11 +53,17 @@ object SemanticDedup {
       .distinct()
   }
 
+  /** Distinct (cluster, vec_id) rows for every DROPPED vector.
+    * vecs: (vec_id, e: array<double>, nrm) — the q86 corpus shape. */
+  def dropped(vecs: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double): DataFrame =
+    droppedFrom(clustered(vecs, centroids), threshold)
+
   /** Per-cluster summary: (cluster, n_vecs, n_dropped, n_kept). */
   def summary(vecs: DataFrame, centroids: Array[Array[Double]],
       threshold: Double): DataFrame = {
-    val cl = vecs.withColumn("c", Ivf.assignment(col("e"), centroids))
-    val drops = dropped(vecs, centroids, threshold)
+    val cl = clustered(vecs, centroids)
+    val drops = droppedFrom(cl, threshold)
       .groupBy("c").agg(count(lit(1)).as("n_dropped"))
     cl.groupBy("c").agg(count(lit(1)).as("n_vecs"))
       .join(drops, Seq("c"), "left")

@@ -54,6 +54,21 @@ object PretrainQueries {
     * broadcast-sized while per-shard windows remain parallel. */
   private val ShardSize = 100L
 
+  /** (lang, n_docs, weight): the temperature-0.5 mixture weights. ONE
+    * implementation shared by q90 (reporting) and q91 (selection) — the
+    * rounding chain (sqrt → DECIMAL(28,12) → exact decimal denominator →
+    * DECIMAL(18,6) weight) is determinism-critical, and two inline copies
+    * could silently diverge under a future precision change. */
+  private def mixtureWeights(d: DataFrame): DataFrame =
+    d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_dec",
+        sqrt(col("n_docs").cast("double")).cast("decimal(28,12)"))
+      .withColumn("denom", sum(col("s_dec")).over(Window.partitionBy(lit(1))))
+      .withColumn("weight",
+        (col("s_dec").cast("double") / col("denom").cast("double"))
+          .cast("decimal(18,6)").cast("double"))
+      .select("lang", "n_docs", "weight")
+
   lazy val defs: Seq[QueryDef] = Seq(
     // ---- q87: GPT-style concat-and-chunk sequence packing. Documents are
     // laid end-to-end in doc_id order and cut into Ctx-token windows; each
@@ -69,7 +84,10 @@ object PretrainQueries {
         val t = docs(s, dir)
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"),
-            (col("doc_id") / ShardSize).cast("long").as("shard"))
+            // DIV, not `/`: Spark's `/` on longs is DOUBLE division, which
+            // loses integer precision above 2^53 — exactly the id range the
+            // ShardSize comment targets. Integral DIV is exact everywhere.
+            expr(s"doc_id DIV $ShardSize").as("shard"))
         val wShardRun = Window.partitionBy("shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val local = t.withColumn("local_start",
@@ -243,21 +261,12 @@ object PretrainQueries {
     // not worth depending on. ----
     QueryDef(
       "q90_language_mixture",
-      (s, dir) => {
-        val wAll = Window.partitionBy(lit(1))
-        docs(s, dir)
-          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-          .withColumn("s_dec",
-            sqrt(col("n_docs").cast("double")).cast("decimal(28,12)"))
-          .withColumn("denom", sum(col("s_dec")).over(wAll))
-          .withColumn("weight",
-            (col("s_dec").cast("double") / col("denom").cast("double"))
-              .cast("decimal(18,6)").cast("double"))
+      (s, dir) =>
+        mixtureWeights(docs(s, dir))
           .withColumn("target_docs",
             floor(col("weight") * 10000).cast("long"))
           .select("lang", "n_docs", "weight", "target_docs")
-          .orderBy("lang")
-      },
+          .orderBy("lang"),
       Some("""
         WITH c AS (
           SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
@@ -293,14 +302,7 @@ object PretrainQueries {
       "q91_quota_sampling",
       (s, dir) => {
         val budget = 200
-        val quotas = docs(s, dir)
-          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-          .withColumn("s_dec",
-            sqrt(col("n_docs").cast("double")).cast("decimal(28,12)"))
-          .withColumn("denom", sum(col("s_dec")).over(Window.partitionBy(lit(1))))
-          .withColumn("weight",
-            (col("s_dec").cast("double") / col("denom").cast("double"))
-              .cast("decimal(18,6)").cast("double"))
+        val quotas = mixtureWeights(docs(s, dir))
           .select(col("lang"),
             floor(col("weight") * budget).cast("long").as("quota"))
         val keyed = docs(s, dir).select(col("doc_id"), col("lang"),

@@ -165,6 +165,12 @@ class SketchSpec extends AnyFunSuite {
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
     val cents = Ivf.train(v, "vec_id", "e", nlist = 8, iters = 3)
+    // Training determinism asserted on DIRECT train() calls: the q86/q94
+    // queries go through trainCached, whose JVM-lifetime memo would mask a
+    // nondeterministic-training regression from any cache-hitting test.
+    assert(cents.map(_.toSeq).toSeq ==
+      Ivf.train(v, "vec_id", "e", nlist = 8, iters = 3).map(_.toSeq).toSeq,
+      "IVF training must be deterministic (cache bypassed)")
     // 0.3, not a production 0.95: the synthetic embeddings are
     // near-orthogonal (max pairwise cosine ≈ 0.48), see the q94 comment.
     val t = 0.3
