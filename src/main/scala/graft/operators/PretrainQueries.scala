@@ -493,6 +493,65 @@ object PretrainQueries {
                  AS DECIMAL(38,6)) AS DOUBLE), 0.0) AS boiler_share
         FROM tok t LEFT JOIN perdoc p USING (doc_id)
         ORDER BY t.doc_id
+      """.stripMargin.trim)),
+
+    // ---- q95: unigram surprisal — the perplexity-proxy quality filter
+    // (CCNet-style LM scoring, with the corpus's own unigram model standing
+    // in for the external LM): per doc, the mean negative log-probability of
+    // its tokens under corpus unigram frequencies. High surprisal = rare-
+    // token-heavy (gibberish or OOD); low = boilerplate-frequent tokens.
+    // Determinism: each token's surprisal rounds through DECIMAL(28,12)
+    // BEFORE the per-doc sum (decimal addition is exact and order-
+    // independent; a raw double SUM would expose engine accumulation
+    // order — same discipline as q90's denominator). ln itself is computed
+    // on identical doubles in both engines (the q36 tf-idf precedent).
+    // Scale: two linear aggregations + a broadcast-sized unigram table
+    // (vocabulary ≪ corpus); the single-row total joins in via the same
+    // bounded broadcast cross join as q36's corpus-size N. ----
+    QueryDef(
+      "q95_unigram_surprisal",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = freq.agg(sum(col("cnt")).as("n"))
+        tok.join(broadcast(freq), Seq("tok"))
+          .crossJoin(broadcast(total))
+          .withColumn("s_dec",
+            expr("CAST(ln(CAST(n AS DOUBLE) / cnt) AS DECIMAL(28,12))"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("s_dec")).as("s_sum"),
+            min(col("cnt")).as("rarest_cnt"))
+          .select(col("doc_id"), col("n_tokens"),
+            graft.operators.Q.out6(
+              col("s_sum").cast("double") / col("n_tokens")).as("surprisal"),
+            col("rarest_cnt"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        freq AS (
+          SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+        ),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM freq
+        ),
+        scored AS (
+          SELECT doc_id, cnt,
+                 CAST(ln(CAST(n AS DOUBLE) / cnt) AS DECIMAL(28,12)) AS s_dec
+          FROM tok JOIN freq USING (tok) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(CAST(CAST(SUM(s_dec) AS DOUBLE) / COUNT(*)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS surprisal,
+               CAST(MIN(cnt) AS BIGINT) AS rarest_cnt
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

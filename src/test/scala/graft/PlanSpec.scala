@@ -100,6 +100,32 @@ class PlanSpec extends AnyFunSuite {
     assert(packed.getLong(1) == total, "token mass is conserved")
   }
 
+  test("q91 quota selection never windows a whole language into one partition") {
+    val p = planOf("q91_quota_sampling")
+    // The corpus-sized ranking window must partition by (lang, bucket) —
+    // hash-prefix buckets keep every partition at ~1/256 of a language.
+    assert(p.contains("hashpartitioning(lang") && p.contains("bucket"),
+      s"ranking window must partition by (lang, bucket):\n$p")
+    // The only single-partition exchange allowed is the mixture-weight
+    // denominator window over the #langs-row table (bounded by
+    // construction); the corpus-sized rank and the bucket-count scan must
+    // both stay hash-partitioned.
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      s"unexpected single-partition exchange:\n$p")
+    // Selection invariant: per language, exactly min(quota, n_docs) docs.
+    val out = Registry.queries("q91_quota_sampling")(spark, TestSpark.sf0001)
+    val perLang = out.groupBy("lang")
+      .agg(count(lit(1)).as("picked"), max("sel_rank").as("max_rank"))
+      .collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { r =>
+      // sel_rank is the exact global per-language rank, so the picked set
+      // is a prefix: max rank == picked count.
+      assert(r.getLong(2) == r.getLong(1),
+        s"picked set must be a rank prefix: $r")
+    }
+  }
+
   test("no declared query plans an unbounded cartesian join") {
     // Cross/nested-loop joins are allowed only where one side is provably
     // bounded and documented as such at the query site:
@@ -108,7 +134,8 @@ class PlanSpec extends AnyFunSuite {
       "q33_neardup_pairs",  // distinct token-SET pairs, not doc pairs
       "q36_tfidf",          // broadcast of the single-row corpus size N
       "q40_ngram_jaccard",  // 50-doc bounded query set
-      "q44_knn_topk")       // 20-vector bounded query set
+      "q44_knn_topk",       // 20-vector bounded query set
+      "q95_unigram_surprisal") // broadcast of the single-row token total N
     Registry.all.foreach { q =>
       val p = q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       val cartesian = p.contains("CartesianProduct") ||
