@@ -132,6 +132,51 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class Admission(lang: String, doc_id: Long, admitted_rank: Long)
+
+  /** Streaming twin of q91's quota selection: per-language admission control
+    * with the remaining budget kept in the state store. Each language admits
+    * documents until its quota is exhausted — across micro-batches — and
+    * over-quota documents are dropped (the batch layer's exact hash-ranked
+    * pick, q91, remains the authority; this is the speed-layer gate that
+    * stops an over-represented language from flooding a live ingest).
+    *
+    * Within one micro-batch the shuffle delivers a key's rows in arbitrary
+    * order, so each (language, batch) slice admits in doc_id order — the
+    * buffer is bounded by one key's share of one micro-batch, and replays
+    * of the same batch admit identically (determinism for tests and
+    * checkpoint recovery). State per key is a single long. */
+  class QuotaAdmission(quota: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), Admission] {
+    @transient private var used: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      used = getHandle.getValueState[Long]("used",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(lang: String, rows: Iterator[(String, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Admission] = {
+      var u = if (used.exists()) used.get() else 0L
+      val out = Seq.newBuilder[Admission]
+      rows.map(_._2).toArray.sorted.foreach { docId =>
+        if (u < quota) { u += 1; out += Admission(lang, docId, u) }
+      }
+      used.update(u)
+      out.result().iterator
+    }
+  }
+
+  /** Quota admission over a (lang, doc_id) document stream (see
+    * [[QuotaAdmission]]). */
+  def quotaAdmissionStream(spark: SparkSession, docs: DataFrame,
+      quota: Long): Dataset[Admission] = {
+    import spark.implicits._
+    docs.select(col("lang"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new QuotaAdmission(quota),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** J7: enrichment join of a stream against a static dimension table. */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))

@@ -260,4 +260,34 @@ class StreamingSpec extends AnyFunSuite {
         (6L, "weird_shape", false)), s"got $out")
     } finally q.stop()
   }
+
+  case class LDoc(lang: String, doc_id: Long)
+
+  test("streaming quota admission: per-language budget persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[LDoc]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StreamingOps.quotaAdmissionStream(spark, in.toDF(), quota = 2)
+      .writeStream.format("memory").queryName("quota")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("update").start()
+    try {
+      // Batch 1: en has 3 candidates but quota 2 — doc 30 must be rejected
+      // (admission is doc_id-ordered within the batch slice).
+      in.addData(LDoc("en", 20), LDoc("en", 10), LDoc("en", 30), LDoc("fr", 1))
+      q.processAllAvailable()
+      // Batch 2: en is exhausted (state carries across batches); fr has one
+      // budget slot left.
+      in.addData(LDoc("en", 5), LDoc("fr", 2), LDoc("fr", 3))
+      q.processAllAvailable()
+      val out = spark.table("quota")
+        .select("lang", "doc_id", "admitted_rank")
+        .as[(String, Long, Long)].collect().toSet
+      assert(out == Set(
+        ("en", 10L, 1L), ("en", 20L, 2L),   // doc 30 over quota, doc 5 too
+        ("fr", 1L, 1L), ("fr", 2L, 2L)),    // doc 3 over quota
+        s"got $out")
+    } finally q.stop()
+  }
 }
