@@ -69,40 +69,48 @@ object PretrainQueries {
           .cast("decimal(18,6)").cast("double"))
       .select("lang", "n_docs", "weight")
 
+  /** (doc_id, n_tokens, st): the exclusive prefix-sum of token counts in
+    * doc_id order, computed DISTRIBUTED — a per-shard running total (window
+    * PARTITIONED by shard — parallel) plus an exclusive scan over the tiny
+    * per-shard totals table, broadcast back. ONE implementation shared by
+    * q87 (packing) and q96 (shard assignment); a corpus-wide single-
+    * partition window is exactly what this decomposition exists to avoid. */
+  private def tokenPrefixSum(d: DataFrame): DataFrame = {
+    val t = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      // DIV, not `/`: Spark's `/` on longs is DOUBLE division, which
+      // loses integer precision above 2^53 — exactly the id range the
+      // ShardSize comment targets. Integral DIV is exact everywhere.
+      expr(s"doc_id DIV $ShardSize").as("shard"))
+    val wShardRun = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = t.withColumn("local_start",
+      coalesce(sum(col("n_tokens")).over(wShardRun), lit(0L)))
+    // Exclusive scan over shard totals: #docs/ShardSize rows, so the
+    // unpartitioned window is bounded by construction (see ShardSize).
+    val wShards = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("shard")
+      .agg(sum(col("n_tokens")).as("shard_toks"))
+      .withColumn("shard_off",
+        coalesce(sum(col("shard_toks")).over(wShards), lit(0L)))
+      .select("shard", "shard_off")
+    local.join(broadcast(offsets), Seq("shard"))
+      .withColumn("st", col("shard_off") + col("local_start"))
+      .select("doc_id", "n_tokens", "st")
+  }
+
   lazy val defs: Seq[QueryDef] = Seq(
     // ---- q87: GPT-style concat-and-chunk sequence packing. Documents are
     // laid end-to-end in doc_id order and cut into Ctx-token windows; each
-    // doc's start offset is the exclusive prefix-sum of token counts. The
-    // prefix-sum is distributed: a per-shard running total (window
-    // PARTITIONED by shard — parallel) plus an exclusive scan over the tiny
-    // per-shard totals table, broadcast back. Output: per-pack occupancy
-    // stats + how many docs straddle a window boundary (those lose a
-    // fraction of their tokens to truncated attention spans). ----
+    // doc's start offset is the exclusive prefix-sum of token counts (see
+    // tokenPrefixSum — the two-level distributed scan). Output: per-pack
+    // occupancy stats + how many docs straddle a window boundary (those
+    // lose a fraction of their tokens to truncated attention spans). ----
     QueryDef(
       "q87_sequence_packing",
       (s, dir) => {
-        val t = docs(s, dir)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"),
-            // DIV, not `/`: Spark's `/` on longs is DOUBLE division, which
-            // loses integer precision above 2^53 — exactly the id range the
-            // ShardSize comment targets. Integral DIV is exact everywhere.
-            expr(s"doc_id DIV $ShardSize").as("shard"))
-        val wShardRun = Window.partitionBy("shard").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val local = t.withColumn("local_start",
-          coalesce(sum(col("n_tokens")).over(wShardRun), lit(0L)))
-        // Exclusive scan over shard totals: #docs/ShardSize rows, so the
-        // unpartitioned window is bounded by construction (see ShardSize).
-        val wShards = Window.orderBy("shard")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = t.groupBy("shard")
-          .agg(sum(col("n_tokens")).as("shard_toks"))
-          .withColumn("shard_off",
-            coalesce(sum(col("shard_toks")).over(wShards), lit(0L)))
-          .select("shard", "shard_off")
-        local.join(broadcast(offsets), Seq("shard"))
-          .withColumn("st", col("shard_off") + col("local_start"))
+        tokenPrefixSum(docs(s, dir))
           .withColumn("pack_id", expr(s"st DIV $Ctx"))
           .withColumn("straddles",
             expr(s"(st + n_tokens - 1) DIV $Ctx") > col("pack_id"))
@@ -552,6 +560,62 @@ object PretrainQueries {
         FROM scored
         GROUP BY doc_id
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- q96: balanced output-shard assignment — the final step before
+    // writing training shards: lay documents end-to-end in doc_id order and
+    // cut the token stream into K contiguous shards of ~equal token mass,
+    // so every dataloader worker streams the same volume. Reuses the q87
+    // two-level distributed prefix sum; the corpus token total joins in via
+    // a bounded single-row broadcast (the q36/q95 pattern). Each shard
+    // reports its document range and its token-mass balance (n_tokens·K/T,
+    // 1.0 = perfectly even). ----
+    QueryDef(
+      "q96_shard_assignment",
+      (s, dir) => {
+        val k = 8
+        val ps = tokenPrefixSum(docs(s, dir))
+        // Token total from the raw corpus — one linear agg; summing over
+        // the prefix-sum output would needlessly recompute both windows.
+        val total = docs(s, dir)
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+        ps.crossJoin(broadcast(total))
+          .withColumn("out_shard", expr(s"st DIV ((tt + ${k - 1}) DIV $k)"))
+          .groupBy("out_shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            graft.operators.Q.out6(
+              sum(col("n_tokens")).cast("double") * k / max(col("tt")))
+              .as("balance"))
+          .orderBy("out_shard")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        placed AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+          FROM t
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM t
+        )
+        SELECT st // ((tt + 7) // 8) AS out_shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc,
+               CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE) * 8 / tt
+                 AS DECIMAL(38,6)) AS DOUBLE) AS balance
+        FROM placed CROSS JOIN tot
+        GROUP BY out_shard, tt
+        ORDER BY out_shard
       """.stripMargin.trim))
   )
 }
