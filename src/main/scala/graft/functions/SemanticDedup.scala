@@ -27,14 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
-  /** (vec_id, e, nrm, c): the corpus with its cluster assignment — computed
-    * ONCE and shared by both consumers below (the assignment projection
-    * walks the nlist×dim centroid-score array per row; recomputing it per
-    * consumer would multiply the dominant per-row cost). */
+  /** (vec_id, e, nrm, c): the corpus with its cluster assignment —
+    * MATERIALIZED once (lazy localCheckpoint, the q78 maskPairs pattern)
+    * because the plan references it up to three times (both pair-join
+    * sides + the summary counts), and the assignment projection walks the
+    * nlist×dim centroid-score array per row; without the checkpoint each
+    * reference would re-evaluate that dominant per-row cost. Lazy: eager
+    * would run a job at DataFrame-construction time (schema inspections). */
   private def clustered(vecs: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     graft.plans.VectorFunctions.register(vecs.sparkSession)
     vecs.withColumn("c", Ivf.assignment(col("e"), centroids))
+      .localCheckpoint(eager = false)
   }
 
   /** Distinct (c, vec_id) rows for every DROPPED vector, from a

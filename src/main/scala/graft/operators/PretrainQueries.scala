@@ -54,6 +54,10 @@ object PretrainQueries {
     * broadcast-sized while per-shard windows remain parallel. */
   private val ShardSize = 100L
 
+  /** q96 output-shard count — interpolated into BOTH the Spark plan and the
+    * oracle SQL so the two cannot drift. */
+  private val NumShards = 8
+
   /** (lang, n_docs, weight): the temperature-0.5 mixture weights. ONE
     * implementation shared by q90 (reporting) and q91 (selection) — the
     * rounding chain (sqrt → DECIMAL(28,12) → exact decimal denominator →
@@ -523,7 +527,12 @@ object PretrainQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val total = freq.agg(sum(col("cnt")).as("n"))
-        tok.join(broadcast(freq), Seq("tok"))
+        // No broadcast hint on freq: the unigram table grows with corpus
+        // vocabulary (Heaps' law — billions of distinct tokens on a web
+        // corpus), so the planner must stay free to pick a shuffle join at
+        // scale; at bench SFs it auto-broadcasts anyway. Only the single-row
+        // total is a FORCED broadcast (bounded by construction).
+        tok.join(freq, Seq("tok"))
           .crossJoin(broadcast(total))
           .withColumn("s_dec",
             expr("CAST(ln(CAST(n AS DOUBLE) / cnt) AS DECIMAL(28,12))"))
@@ -573,25 +582,25 @@ object PretrainQueries {
     QueryDef(
       "q96_shard_assignment",
       (s, dir) => {
-        val k = 8
         val ps = tokenPrefixSum(docs(s, dir))
         // Token total from the raw corpus — one linear agg; summing over
         // the prefix-sum output would needlessly recompute both windows.
         val total = docs(s, dir)
           .agg(sum(size(split(col("text"), " ")).cast("long")).as("tt"))
         ps.crossJoin(broadcast(total))
-          .withColumn("out_shard", expr(s"st DIV ((tt + ${k - 1}) DIV $k)"))
+          .withColumn("out_shard",
+            expr(s"st DIV ((tt + ${NumShards - 1}) DIV $NumShards)"))
           .groupBy("out_shard")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("n_tokens"),
             min(col("doc_id")).as("first_doc"),
             max(col("doc_id")).as("last_doc"),
             graft.operators.Q.out6(
-              sum(col("n_tokens")).cast("double") * k / max(col("tt")))
+              sum(col("n_tokens")).cast("double") * NumShards / max(col("tt")))
               .as("balance"))
           .orderBy("out_shard")
       },
-      Some("""
+      Some(s"""
         WITH t AS (
           SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -606,12 +615,12 @@ object PretrainQueries {
         tot AS (
           SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM t
         )
-        SELECT st // ((tt + 7) // 8) AS out_shard,
+        SELECT st // ((tt + ${NumShards - 1}) // $NumShards) AS out_shard,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                MIN(doc_id) AS first_doc,
                MAX(doc_id) AS last_doc,
-               CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE) * 8 / tt
+               CAST(CAST(CAST(SUM(n_tokens) AS DOUBLE) * $NumShards / tt
                  AS DECIMAL(38,6)) AS DOUBLE) AS balance
         FROM placed CROSS JOIN tot
         GROUP BY out_shard, tt

@@ -59,7 +59,8 @@ object ScaleCheck {
       "q57_shipping_priority", "q59_returned_items", "q35_word_freq",
       "q80_dataset_split", "q83_curation_pipeline", "q87_sequence_packing",
       "q88_pii_redaction", "q89_repetition_signals", "q90_language_mixture",
-      "q91_quota_sampling", "q92_source_mix", "q93_boilerplate_shingles")
+      "q91_quota_sampling", "q92_source_mix", "q93_boilerplate_shingles",
+      "q95_unigram_surprisal", "q96_shard_assignment")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
