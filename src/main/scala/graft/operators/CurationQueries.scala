@@ -227,6 +227,63 @@ object CurationQueries {
                      ELSE 'ok' END) = 'ok' AS keep
         FROM canon
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- q97: incremental corpus ingest — the dedup decision a production
+    // pipeline makes on every new crawl batch against the corpus it already
+    // owns. History = docs with doc_id < 250 (their fingerprint store);
+    // batch = the rest. Each batch doc classifies as dup_of_history (its
+    // exact fingerprint already owned), dup_in_batch (a lower-id batch doc
+    // has the same fingerprint — first-seen-wins within the batch), or new.
+    // Scale: the history side is ONLY the fingerprint column (at 100 TB a
+    // compact fp store, not the corpus), both joins/aggregations are keyed
+    // by fp — uniformly distributed, no pairwise anything. The same shape
+    // runs incrementally forever: yesterday's "new" fps append to the
+    // store. ----
+    QueryDef(
+      "q97_incremental_ingest",
+      (s, dir) => {
+        val HistMax = 250L
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("fp"))
+        val histFps = d.filter(col("doc_id") < HistMax)
+          .select("fp").distinct()
+        val batch = d.filter(col("doc_id") >= HistMax)
+        // First-seen-wins within the batch: min doc_id per fp.
+        val firstSeen = batch.groupBy("fp")
+          .agg(min(col("doc_id")).as("first_id"))
+        batch
+          .join(firstSeen, Seq("fp"))
+          .join(histFps.withColumn("in_hist", lit(true)), Seq("fp"), "left")
+          .withColumn("status",
+            when(col("in_hist"), "dup_of_history")
+              .when(col("doc_id") > col("first_id"), "dup_in_batch")
+              .otherwise("new"))
+          .select("doc_id", "source", "fp", "status")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, md5(text) AS fp FROM documents
+        ),
+        hist AS (
+          SELECT DISTINCT fp FROM d WHERE doc_id < 250
+        ),
+        batch AS (
+          SELECT * FROM d WHERE doc_id >= 250
+        ),
+        first_seen AS (
+          SELECT fp, MIN(doc_id) AS first_id FROM batch GROUP BY fp
+        )
+        SELECT b.doc_id, b.source, b.fp,
+               CASE WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+                    WHEN b.doc_id > f.first_id THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM batch b
+        JOIN first_seen f USING (fp)
+        LEFT JOIN hist h ON b.fp = h.fp
+        ORDER BY b.doc_id
       """.stripMargin.trim))
   )
 }
