@@ -373,6 +373,42 @@ object AnalyticsQueries {
         )
         WHERE c_acctbal > seg_avg
         ORDER BY c_custkey
+      """.stripMargin.trim)),
+
+    // ---- TPC-H Q13 shape: customer order-count histogram. The missing
+    // relational exhibit before this: LEFT OUTER join feeding a TWO-LEVEL
+    // aggregation (per-customer count, then a histogram over those counts).
+    // Customers with no qualifying orders must survive as c_count = 0 —
+    // COUNT(o_orderkey) over the null-extended rows, never COUNT(*).
+    //
+    // Scale: one shuffle on custkey for the join+first agg (partial
+    // map-side combine), then the histogram agg is over ≤ a few hundred
+    // distinct counts — effectively free. No broadcast: both sides are
+    // fact-sized at 100 TB, and AQE is free to pick SMJ/SHJ. ----
+    QueryDef(
+      "q98_customer_order_histogram",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        // Pre-filtering the right side of a LEFT join == the ON-clause
+        // extra predicate in the oracle (null-extension preserved).
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
       """.stripMargin.trim))
   )
 

@@ -284,6 +284,58 @@ object CurationQueries {
         JOIN first_seen f USING (fp)
         LEFT JOIN hist h ON b.fp = h.fp
         ORDER BY b.doc_id
+      """.stripMargin.trim)),
+
+    // ---- Corpus snapshot diff (data versioning): classify every doc_id
+    // across two crawl snapshots as added / removed / changed / unchanged
+    // by comparing content fingerprints through a FULL OUTER join. The two
+    // snapshots are deterministic derivations of the fixture: the "old"
+    // crawl is missing the doc_id%10==7 slice (→ added) and carries a stale
+    // text for the %10==5 slice (→ changed); the "new" crawl dropped the
+    // %10==4 slice (→ removed).
+    //
+    // Scale: fingerprints reduce each side to (key, 32-byte hash) before
+    // the join — the full-outer join shuffles on doc_id and is the
+    // canonical snapshot-reconciliation plan at 100 TB (both sides
+    // corpus-sized; no broadcast possible, none attempted). ----
+    QueryDef(
+      "q99_snapshot_diff",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val prev = d.filter(col("doc_id") % 10 =!= 7)
+          .withColumn("text",
+            when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v1")))
+              .otherwise(col("text")))
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("old_fp"))
+        val curr = d.filter(col("doc_id") % 10 =!= 4)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("new_fp"))
+        prev.join(curr, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("old_fp").isNull, "added")
+              .when(col("new_fp").isNull, "removed")
+              .when(col("old_fp") =!= col("new_fp"), "changed")
+              .otherwise("unchanged"))
+          .select("doc_id", "status")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH prev AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v1' ELSE text END)
+                   AS old_fp
+          FROM documents WHERE doc_id % 10 <> 7
+        ),
+        curr AS (
+          SELECT doc_id, md5(text) AS new_fp
+          FROM documents WHERE doc_id % 10 <> 4
+        )
+        SELECT COALESCE(prev.doc_id, curr.doc_id) AS doc_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp <> new_fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id
+        ORDER BY doc_id
       """.stripMargin.trim))
   )
 }

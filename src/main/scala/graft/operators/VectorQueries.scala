@@ -285,6 +285,49 @@ object VectorQueries {
                CAST(len(list_filter(qv, v -> v = 0 OR v = 255)) AS BIGINT) AS n_extreme
         FROM q
         ORDER BY vec_id
+      """.stripMargin.trim)),
+
+    // ---- Per-label centroids (positional array aggregation): the mean
+    // vector of every label class — IVF/classifier seeding, embedding-drift
+    // monitoring. posexplode → groupBy (label, dim) is the transpose-free
+    // distributed layout: 64× row inflation, then a map-side-combined agg.
+    //
+    // Determinism: each element is rounded to DECIMAL(28,12) BEFORE the
+    // sum (q95 precedent) so the per-group sum is exact decimal — immune to
+    // Spark's partition accumulation order vs DuckDB's sequential fold. The
+    // mean divides as double and rounds through DECIMAL(18,9) for the
+    // final projection (Q.out* contract).
+    //
+    // Scale: linear in corpus × dim; the shuffle key (label, pos) has
+    // #labels × dim cardinality — plenty of parallelism, no skew (every
+    // group has exactly |label class| rows). ----
+    QueryDef(
+      "q100_label_centroids",
+      (s, dir) =>
+        Tables.read(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(
+            sum(col("x").cast("double").cast("decimal(28,12)")).as("sd"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("sd").cast("double") / col("n"))
+              .cast("decimal(18,9)").cast("double").as("centroid"))
+          .orderBy("label", "pos"),
+      Some("""
+        WITH t AS (
+          SELECT label,
+                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                 UNNEST(list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS xd
+          FROM embeddings
+        )
+        SELECT label, CAST(pos AS BIGINT) AS pos,
+               CAST(CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9))
+                 AS DOUBLE) AS centroid
+        FROM t
+        GROUP BY label, pos
+        ORDER BY label, pos
       """.stripMargin.trim))
   )
 }
