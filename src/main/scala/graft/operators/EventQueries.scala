@@ -160,6 +160,75 @@ object EventQueries {
         FROM sess
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
+      """.stripMargin.trim)),
+
+    // ---- Time-series gap fill + forward fill: regularize the ragged event
+    // stream onto a per-user hourly spine (generated, not stored), carrying
+    // the last observed measure across empty hours — the standard
+    // feature-store / metrics-backfill reshape.
+    //
+    // Pieces: per-(user, hour) "last observation" picked deterministically
+    // by (us, event_id) — max_by over a struct key here, QUALIFY
+    // row_number()=1 in the oracle (DuckDB's arg_max cannot take composite
+    // keys); a generated hourly spine (sequence/generate_series — a
+    // generator, no stored calendar table); LEFT join back; then
+    // last(..., ignoreNulls) over a user-partitioned running frame.
+    //
+    // Scale: the spine is |users| × |hours| (generated in-executor, never
+    // shuffled raw events); joins and the fill window all partition by
+    // user_id — no global window, no skew beyond per-user activity. The
+    // fill is never null: each user's spine starts at their own first
+    // event hour. ----
+    QueryDef(
+      "q101_gap_fill",
+      (s, dir) => {
+        val e = eventsUs(s, dir)
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val hourly = e.groupBy(col("user_id"), col("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            max_by(col("cents"), struct(col("us"), col("event_id")))
+              .as("last_cents"))
+        val spine = e.groupBy("user_id")
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+        val w = Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("user_id", "hour"), "left")
+          .withColumn("filled_cents",
+            last(col("last_cents"), ignoreNulls = true).over(w))
+          .select(col("user_id"), unix_micros(col("hour")).as("hour_us"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("filled_cents"))
+          .orderBy("user_id", "hour_us")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT *, date_trunc('hour', ts) AS hour FROM ($oracleEventsUs)
+        ),
+        hourly AS (
+          SELECT user_id, hour, n_events, cents AS last_cents FROM (
+            SELECT user_id, hour, cents,
+                   COUNT(*) OVER (PARTITION BY user_id, hour) AS n_events,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                                      ORDER BY us DESC, event_id DESC) AS rn
+            FROM e) WHERE rn = 1
+        ),
+        spine AS (
+          SELECT user_id,
+                 UNNEST(generate_series(MIN(hour), MAX(hour), INTERVAL 1 HOUR))
+                   AS hour
+          FROM e GROUP BY user_id
+        )
+        SELECT s.user_id, epoch_us(s.hour) AS hour_us,
+               COALESCE(h.n_events, 0) AS n_events,
+               last_value(h.last_cents IGNORE NULLS)
+                 OVER (PARTITION BY s.user_id ORDER BY s.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS filled_cents
+        FROM spine s LEFT JOIN hourly h
+          ON s.user_id = h.user_id AND s.hour = h.hour
+        ORDER BY s.user_id, hour_us
       """.stripMargin.trim))
   )
 }
