@@ -30,9 +30,19 @@ object Tables {
   /** The ONE ts conversion shared by the batch reader and the streaming
     * replay (StreamingOps.fileReplay): nanos-as-long → µs timestamp. The
     * lambda parity guarantee (replay ≡ batch) depends on both paths using
-    * this exact expression — never inline a copy. */
+    * this exact expression — never inline a copy.
+    *
+    * No-op when `ts` is already a timestamp: re-written copies of the
+    * fixture (e.g. ScaleCheck's 10× replica, user-materialized views) carry
+    * a proper TIMESTAMP column, and only the driver's original
+    * TIMESTAMP(NANOS) parquet arrives as LongType via the nanosAsLong
+    * shim. */
   def nanosTsToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
 
   /** Conf key the nanos shim needs (consulted at scan planning time). */
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"

@@ -60,7 +60,10 @@ object ScaleCheck {
       "q80_dataset_split", "q83_curation_pipeline", "q87_sequence_packing",
       "q88_pii_redaction", "q89_repetition_signals", "q90_language_mixture",
       "q91_quota_sampling", "q92_source_mix", "q93_boilerplate_shingles",
-      "q95_unigram_surprisal", "q96_shard_assignment")
+      "q95_unigram_surprisal", "q96_shard_assignment",
+      // q100 is excluded: embeddings are not replicated (same keyspace), so
+      // a "10x" timing would compare equal-sized inputs.
+      "q98_customer_order_histogram", "q99_snapshot_diff", "q101_gap_fill")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
