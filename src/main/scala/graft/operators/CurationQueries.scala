@@ -336,6 +336,65 @@ object CurationQueries {
                     ELSE 'unchanged' END AS status
         FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- Cross-source duplication audit: Jaccard overlap of token-SET
+    // fingerprints between every source pair — which scrape feeds are
+    // re-serving each other's content. Docs collapse to distinct
+    // (source, set-fp) first (near-dups share a token set far more often
+    // than an exact text), so the fp join never touches doc×doc.
+    //
+    // Scale: the fp equi-join shuffles on fingerprint (per-fp source lists
+    // are tiny); the counts×counts pair frame is #sources² rows — bounded
+    // by the catalog of feeds, not the corpus, and documented in
+    // PlanSpec's cartesian allowlist. Jaccard divides exact BIGINTs as
+    // doubles (bit-identical both engines) and rounds through the Q.out*
+    // contract. ----
+    QueryDef(
+      "q102_source_overlap",
+      (s, dir) => {
+        val setFp = docs(s, dir)
+          .select(col("source"),
+            md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+              .cast("binary")).as("fp"))
+          .distinct()
+        val counts = setFp.groupBy("source").agg(count(lit(1)).as("n_sets"))
+        val pairs = counts.select(col("source").as("src_a"), col("n_sets").as("n_a"))
+          .join(counts.select(col("source").as("src_b"), col("n_sets").as("n_b")),
+            col("src_a") < col("src_b"))
+        val inter = setFp.select(col("fp"), col("source").as("src_a"))
+          .join(setFp.select(col("fp"), col("source").as("src_b")), "fp")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        pairs.join(inter, Seq("src_a", "src_b"), "left")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+            (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+              .cast("decimal(18,9)").cast("double").as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""
+        WITH setfp AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fp
+          FROM documents
+        ),
+        counts AS (SELECT source, COUNT(*) AS n_sets FROM setfp GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+          FROM setfp a JOIN setfp b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT ca.source AS src_a, cb.source AS src_b,
+               ca.n_sets AS n_a, cb.n_sets AS n_b,
+               COALESCE(i.inter, 0) AS inter,
+               CAST(CAST(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+                      / (ca.n_sets + cb.n_sets - COALESCE(i.inter, 0))
+                    AS DECIMAL(18,9)) AS DOUBLE) AS jaccard
+        FROM counts ca JOIN counts cb ON ca.source < cb.source
+        LEFT JOIN inter i ON i.src_a = ca.source AND i.src_b = cb.source
+        ORDER BY src_a, src_b
       """.stripMargin.trim))
   )
 }

@@ -229,6 +229,59 @@ object EventQueries {
         FROM spine s LEFT JOIN hourly h
           ON s.user_id = h.user_id AND s.hour = h.hour
         ORDER BY s.user_id, hour_us
+      """.stripMargin.trim)),
+
+    // ---- Funnel analysis: signup → click → purchase, strictly ordered in
+    // event time per user. Each stage is "first qualifying event after the
+    // previous stage's time": a per-user min-aggregate joined forward into
+    // the next stage's filter — successive key-joins that only ever narrow,
+    // the standard distributed funnel plan (no window over whole history,
+    // no per-user event collection).
+    //
+    // Scale: three user_id-keyed shuffles over progressively smaller sets;
+    // the final rollup is 3 rows. ----
+    QueryDef(
+      "q104_funnel",
+      (s, dir) => {
+        val e = eventsUs(s, dir)
+        def stage(df: DataFrame, typ: String, prev: Option[DataFrame],
+                  outCol: String): DataFrame = {
+          val base = e.filter(col("event_type") === typ)
+          val gated = prev match {
+            case Some(p) => base.join(p, "user_id")
+              .filter(col("us") > col(p.columns.last))
+            case None => base
+          }
+          gated.groupBy("user_id").agg(min(col("us")).as(outCol))
+        }
+        val s1 = stage(e, "signup", None, "t1")
+        val s2 = stage(e, "click", Some(s1), "t2")
+        val s3 = stage(e, "purchase", Some(s2), "t3")
+        def row(n: Int, step: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(n.toLong).as("stage"), lit(step).as("step"), col("users"))
+        row(1, "signup", s1)
+          .unionByName(row(2, "click_after_signup", s2))
+          .unionByName(row(3, "purchase_after_click", s3))
+          .orderBy("stage")
+      },
+      Some(s"""
+        WITH e AS ($oracleEventsUs),
+        s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+                 COUNT(*) AS users FROM s1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'click_after_signup', COUNT(*) FROM s2
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase_after_click', COUNT(*) FROM s3
+        )
+        ORDER BY stage
       """.stripMargin.trim))
   )
 }

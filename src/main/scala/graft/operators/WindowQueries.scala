@@ -303,8 +303,53 @@ object WindowQueries {
          AND x.us >= p.us AND x.us <= p.us + 300000000
         GROUP BY p.user_id
         ORDER BY user_id
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ---- Winsorized robust statistics: clip each event's cents to its
+    // event_type's [p05, p95] (nearest-rank on exact integer cents, q21's
+    // idiom) before re-aggregating — the outlier-resistant metrics layer.
+    // One SQL text runs in both engines (common dialect, like q21/q23).
+    //
+    // Scale: two window passes partitioned by event_type feed a tiny bounds
+    // table that joins back broadcast-style; everything else is one
+    // hash aggregation. All-integer arithmetic — no float determinism
+    // surface at all. ----
+    QueryDef(
+      "q103_winsorized_stats",
+      (s, dir) => {
+        eventsUs(s, dir).createOrReplaceTempView("events_us")
+        s.sql(winsorizeSql("events_us"))
+      },
+      Some(winsorizeSql(s"($oracleEventsUs)")))
   )
+
+  /** Winsorize: nearest-rank p05/p95 bounds per event_type, clip, then
+    * re-aggregate. Valid Spark SQL and DuckDB SQL alike — all-BIGINT. */
+  private def winsorizeSql(src: String): String =
+    s"""
+      WITH r AS (
+        SELECT event_type, event_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM $src
+      ),
+      b AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT) THEN cents END) AS lo,
+               MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN cents END) AS hi
+        FROM r GROUP BY event_type
+      )
+      SELECT r.event_type, MAX(b.lo) AS lo_cents, MAX(b.hi) AS hi_cents,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN r.cents < b.lo THEN b.lo
+                           WHEN r.cents > b.hi THEN b.hi
+                           ELSE r.cents END) AS BIGINT) AS winsorized_cents,
+             CAST(SUM(CASE WHEN r.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+             CAST(SUM(CASE WHEN r.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+      FROM r JOIN b ON r.event_type = b.event_type
+      GROUP BY r.event_type
+      ORDER BY r.event_type
+    """.stripMargin.trim
 
   /** Median (lo/hi rank positions) + nearest-rank p90 per event_type;
     * valid Spark SQL and DuckDB SQL alike. */
