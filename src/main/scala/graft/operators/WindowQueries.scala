@@ -321,6 +321,41 @@ object WindowQueries {
         s.sql(winsorizeSql("events_us"))
       },
       Some(winsorizeSql(s"($oracleEventsUs)")))
+      ,
+
+    // ---- E5 at scale: top-k per group as an AGGREGATE (custom
+    // TypedImperativeAggregate `graft_topk`, plans/TopKAgg.scala) instead
+    // of the universal row_number() window. The window plan sorts every
+    // group's every row; the aggregate keeps a k-bounded heap per group on
+    // the map side, so the shuffle carries ≤ k rows per group per
+    // partition and nothing sorts the full input — the shape a native
+    // engine uses. Must equal q19's window formulation rank-for-rank
+    // (same order: score DESC, id ASC, NaN last), so the oracle IS the
+    // window SQL. ----
+    QueryDef(
+      "q105_topk_aggregate",
+      (s, dir) => {
+        graft.plans.VectorFunctions.register(s)
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+          .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+            col("e.id").as("o_orderkey"),
+            outD(col("e.score"), 2).as("price"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+        SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn
+      """.stripMargin.trim))
   )
 
   /** Winsorize: nearest-rank p05/p95 bounds per event_type, clip, then

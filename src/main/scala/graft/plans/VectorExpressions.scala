@@ -100,12 +100,18 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Registers `graft_dot(a, b)` in the session so the public `expr` API can
-    * reach the codegen'd expression. Idempotent; call inside each query fn
-    * (the harness owns SparkSession construction — SURVEY §7.6). */
-  def register(spark: SparkSession): Unit =
+  /** Registers `graft_dot(a, b)` and `graft_topk(score, id, k)` in the
+    * session so the public `expr` API can reach the custom expressions.
+    * Idempotent; call inside each query fn (the harness owns SparkSession
+    * construction — SURVEY §7.6). The analyzer wraps the bare
+    * AggregateFunction returned for graft_topk into an AggregateExpression
+    * at resolution, like any built-in aggregate. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKBy.fromExprs(exprs), "built-in")
+  }
 }
 
 /** The deployment-grade registration path: when the application owns session
@@ -123,5 +129,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKBy].getCanonicalName, "graft_topk"),
+      (exprs: Seq[Expression]) => TopKBy.fromExprs(exprs)))
   }
 }
