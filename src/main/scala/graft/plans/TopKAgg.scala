@@ -65,6 +65,34 @@ object TopKBuffer {
   val worstFirst: Ordering[(Double, Long)] =
     (a: (Double, Long), b: (Double, Long)) =>
       rankCompare(a._1, a._2, b._1, b._2)
+
+  /** Entries sorted best-first (the emission order). */
+  def sortedEntries(b: TopKBuffer): Array[(Double, Long)] =
+    b.heap.toArray.sortWith { (x, y) =>
+      rankCompare(x._1, x._2, y._1, y._2) < 0
+    }
+
+  /** Shuffle/state-store serde — shared verbatim by the batch aggregate
+    * (TopKBy) and the streaming speed-layer twin (StreamingOps.topKStream):
+    * the lambda parity claim is literal code sharing, not two
+    * implementations agreeing by luck. */
+  def toBytes(b: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k)
+    out.writeInt(b.heap.size)
+    b.heap.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new TopKBuffer(in.readInt())
+    var n = in.readInt()
+    while (n > 0) { b.offer(in.readDouble(), in.readLong()); n -= 1 }
+    b
+  }
 }
 
 case class TopKBy(
@@ -116,30 +144,15 @@ case class TopKBy(
     b
   }
 
-  override def eval(b: TopKBuffer): Any = {
-    val sorted = b.heap.toArray.sortWith { (x, y) =>
-      TopKBuffer.rankCompare(x._1, x._2, y._1, y._2) < 0
-    }
-    new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
-  }
+  override def eval(b: TopKBuffer): Any =
+    new GenericArrayData(TopKBuffer.sortedEntries(b).map {
+      case (s, i) => InternalRow(s, i)
+    })
 
-  override def serialize(b: TopKBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(b.k)
-    out.writeInt(b.heap.size)
-    b.heap.foreach { case (s, i) => out.writeDouble(s); out.writeLong(i) }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(b: TopKBuffer): Array[Byte] = TopKBuffer.toBytes(b)
 
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val b = new TopKBuffer(in.readInt())
-    var n = in.readInt()
-    while (n > 0) { b.offer(in.readDouble(), in.readLong()); n -= 1 }
-    b
-  }
+  override def deserialize(bytes: Array[Byte]): TopKBuffer =
+    TopKBuffer.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKBy =
     copy(mutableAggBufferOffset = newOffset)

@@ -177,6 +177,50 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TopEntry(key: Long, rank: Long, id: Long, score: Double)
+
+  /** Streaming twin of q105's top-k aggregate: a per-key running top-k
+    * leaderboard in the state store, maintained with the SAME
+    * [[graft.plans.TopKBuffer]] (and its serde) the batch aggregate uses —
+    * the speed-layer view converges to exactly what the batch graft_topk
+    * recomputes, by construction. State per key is one k-bounded byte
+    * blob; each batch re-emits the key's full current top-k (Update mode:
+    * the sink's latest emission per key wins). */
+  class TopKLeaderboard(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Double), TopEntry] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("topk",
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TopEntry] = {
+      val buf =
+        if (st.exists()) graft.plans.TopKBuffer.fromBytes(st.get())
+        else new graft.plans.TopKBuffer(k)
+      rows.foreach { case (_, id, score) => buf.offer(score, id) }
+      st.update(graft.plans.TopKBuffer.toBytes(buf))
+      graft.plans.TopKBuffer.sortedEntries(buf).iterator.zipWithIndex.map {
+        case ((score, id), pos) => TopEntry(key, pos + 1L, id, score)
+      }
+    }
+  }
+
+  /** Running top-k per key over a (key, id, score) stream (see
+    * [[TopKLeaderboard]]). */
+  def topKStream(spark: SparkSession, rows: DataFrame, k: Int,
+      keyCol: String = "user_id", idCol: String = "event_id",
+      scoreCol: String = "value"): Dataset[TopEntry] = {
+    import spark.implicits._
+    rows.select(col(keyCol), col(idCol), col(scoreCol))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TopKLeaderboard(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** J7: enrichment join of a stream against a static dimension table. */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))

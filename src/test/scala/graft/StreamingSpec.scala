@@ -290,4 +290,61 @@ class StreamingSpec extends AnyFunSuite {
         s"got $out")
     } finally q.stop()
   }
+
+  test("streaming top-k leaderboard converges to the batch aggregate's view") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KIS]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // foreachBatch captures each micro-batch's emissions; a key's LATEST
+    // emission is its current leaderboard (Update-mode semantics — exactly
+    // what the upsert serving sink would materialize).
+    val board = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Double)]]
+    val q = StreamingOps.topKStream(spark, in.toDF(), k = 2)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingOps.TopEntry], _: Long) =>
+        ds.collect().groupBy(_.key).foreach { case (k, rows) =>
+          board(k) = rows.sortBy(_.rank).map(r => (r.rank, r.id, r.score)).toSeq
+        }
+      }
+      .start()
+    try {
+      in.addData(KIS(1, 1, 5.0), KIS(1, 2, 7.0), KIS(1, 3, 6.0), KIS(2, 5, 1.0))
+      q.processAllAvailable()
+      // key 1's leaderboard after batch 1: the state must already be bounded.
+      assert(board(1L) == Seq((1L, 2L, 7.0), (2L, 3L, 6.0)), s"got ${board(1L)}")
+      in.addData(KIS(1, 4, 8.0), KIS(3, 6, 2.0), KIS(3, 7, 2.0))
+      q.processAllAvailable()
+      // key 1: new leader inserted, old rank-2 evicted from the k=2 state.
+      assert(board(1L) == Seq((1L, 4L, 8.0), (2L, 2L, 7.0)), s"got ${board(1L)}")
+      // key 2: untouched by batch 2 — its batch-1 leaderboard stands.
+      assert(board(2L) == Seq((1L, 5L, 1.0)), s"got ${board(2L)}")
+      // key 3: tie on score breaks by smaller id (the shared rank contract).
+      assert(board(3L) == Seq((1L, 6L, 2.0), (2L, 7L, 2.0)), s"got ${board(3L)}")
+      // Lambda parity: the final leaderboards equal the batch graft_topk
+      // recomputed over everything the stream ever saw (same buffer code).
+      graft.plans.VectorFunctions.register(spark)
+      val allRows = Seq(
+        KIS(1, 1, 5.0), KIS(1, 2, 7.0), KIS(1, 3, 6.0), KIS(2, 5, 1.0),
+        KIS(1, 4, 8.0), KIS(3, 6, 2.0), KIS(3, 7, 2.0)).toDF()
+      val batch = allRows.groupBy("user_id")
+        .agg(expr("graft_topk(value, event_id, 2)").as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("pos", "x")))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(1)).map { r =>
+            val e = r.getStruct(2)
+            (r.getInt(1) + 1L, e.getLong(1), e.getDouble(0))
+          }.toSeq
+        }
+      assert(batch == board.toMap, s"stream $board vs batch $batch")
+    } finally q.stop()
+  }
 }
+
+/** Top-level (not nested in the suite): product encoders for classes used
+  * in BOTH directions need no outer-instance pointer this way — an inner
+  * class fails ResolveNewInstance on the deserializer side. */
+case class KIS(user_id: Long, event_id: Long, value: Double)
