@@ -28,7 +28,8 @@ object Registry {
       operators.AnalyticsQueries.defs ++
       operators.SketchJoinQueries.defs ++
       operators.CurationQueries.defs ++
-      operators.PretrainQueries.defs
+      operators.PretrainQueries.defs ++
+      operators.DataloaderQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

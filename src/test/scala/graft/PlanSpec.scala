@@ -137,7 +137,8 @@ class PlanSpec extends AnyFunSuite {
       "q44_knn_topk",       // 20-vector bounded query set
       "q95_unigram_surprisal", // broadcast of the single-row token total N
       "q96_shard_assignment",  // broadcast of the single-row token total N
-      "q102_source_overlap")   // #sources x #sources counts-only pair frame
+      "q102_source_overlap",   // #sources x #sources counts-only pair frame
+      "q107_length_buckets")   // broadcast of the single-row corpus max length
     Registry.all.foreach { q =>
       val p = q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       val cartesian = p.contains("CartesianProduct") ||
