@@ -29,7 +29,8 @@ object Registry {
       operators.SketchJoinQueries.defs ++
       operators.CurationQueries.defs ++
       operators.PretrainQueries.defs ++
-      operators.DataloaderQueries.defs
+      operators.DataloaderQueries.defs ++
+      operators.RetentionQueries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

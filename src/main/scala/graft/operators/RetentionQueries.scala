@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decision-support shapes the classic suites express with correlated
+  * subqueries — re-expressed as single-pass keyed aggregations (the form
+  * that scales: one shuffle on the group key instead of a per-row probe) —
+  * plus the product-analytics pair every event warehouse runs: cohort
+  * retention and cumulative-unique growth.
+  *
+  * Scale notes per query:
+  *   - q111: TPC-H Q21's double-EXISTS collapses to ONE groupBy(orderkey)
+  *     with conditional distinct counts; the supplier dimension joins
+  *     broadcast. No correlated probe, no self-join of lineitem.
+  *   - q112: Q11's scalar-subquery HAVING becomes a broadcast single-row
+  *     total joined into a linear per-part aggregate.
+  *   - q113: equi-width histogram — global min/max is a bounded single-row
+  *     broadcast; binning is pure integer arithmetic (no float width that
+  *     could round differently across engines); one ~20-key groupBy.
+  *   - q114/q115: both reduce events to per-user firsts (one shuffle on
+  *     user_id), then aggregate on (cohort, offset) / day. The only
+  *     unpartitioned window (q115's running total) runs over the ~#days-row
+  *     daily table — bounded by the calendar, not the corpus.
+  *
+  * Determinism: money flows through DECIMAL(18,2) (exact, order-free) and
+  * surfaces as integer cents or Q.out* doubles; days surface as DATE casts
+  * (driver-proven tolerant); every output ends in a total ORDER BY.
+  */
+object RetentionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  private def eventsDay(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+
+  private val oracleEventsDay =
+    "SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events"
+
+  /** q113 bin count — interpolated into both sides. */
+  private val Bins = 20
+
+  lazy val defs: Seq[QueryDef] = Seq(
+    // ---- q111: "sole failing supplier" — TPC-H Q21's shape (suppliers who
+    // alone held up multi-supplier orders), keyed on l_returnflag since the
+    // fixture carries no receipt/commit dates. The textbook formulation is
+    // EXISTS(other supplier in order) AND NOT EXISTS(other supplier also
+    // failed) — a correlated double-probe. Here: one aggregate per order
+    // computes (distinct suppliers, distinct failing suppliers, the failing
+    // supplier if unique), so the whole operator is one shuffle on
+    // l_orderkey plus a broadcast of the supplier dimension. ----
+    QueryDef(
+      "q111_sole_failing_supplier",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val failed = when(col("l_returnflag") === "R", col("l_suppkey"))
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(failed).as("n_fail"),
+            max(failed).as("sole_failer"))
+          .filter(col("n_supp") >= 2 && col("n_fail") === 1)
+        perOrder.groupBy(col("sole_failer").as("s_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(broadcast(t(s, dir, "supplier")), "s_suppkey")
+          .select("s_suppkey", "s_name", "numwait")
+          .orderBy(col("numwait").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                     THEN l_suppkey END) AS n_fail,
+                 MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS sole_failer
+          FROM lineitem
+          GROUP BY l_orderkey
+        )
+        SELECT s_suppkey, s_name, numwait
+        FROM (
+          SELECT sole_failer AS s_suppkey, COUNT(*) AS numwait
+          FROM per_order WHERE n_supp >= 2 AND n_fail = 1
+          GROUP BY sole_failer
+        ) JOIN supplier USING (s_suppkey)
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 20
+      """.stripMargin.trim)),
+
+    // ---- q112: important-part share — TPC-H Q11's shape: parts whose
+    // revenue exceeds a fixed fraction of the corpus total. The scalar
+    // subquery becomes a broadcast single-row total; revenue is exact
+    // decimal cents end-to-end. ----
+    QueryDef(
+      "q112_part_value_share",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"), Q.dec2(col("l_extendedprice")).as("p"))
+        val perPart = li.groupBy("l_partkey")
+          .agg((sum(col("p")) * 100).cast("long").as("value_cents"))
+        val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value_cents") * 2000L > col("total_cents"))
+          .select(col("l_partkey"), col("value_cents"),
+            Q.out6(col("value_cents").cast("double") / col("total_cents"))
+              .as("share"))
+          .orderBy(col("value_cents").desc, col("l_partkey"))
+      },
+      Some("""
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                   AS BIGINT) AS value_cents
+          FROM lineitem
+          GROUP BY l_partkey
+        ),
+        tot AS (
+          SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per_part
+        )
+        SELECT l_partkey, value_cents,
+               CAST(CAST(CAST(value_cents AS DOUBLE) / total_cents
+                 AS DECIMAL(38,6)) AS DOUBLE) AS share
+        FROM per_part CROSS JOIN tot
+        WHERE value_cents * 2000 > total_cents
+        ORDER BY value_cents DESC, l_partkey
+      """.stripMargin.trim)),
+
+    // ---- q113: equi-width histogram of order values — Bins integer-exact
+    // buckets between the corpus min/max (single-row broadcast). The bin
+    // index is ((cents-min)*Bins) DIV (max-min+1): pure integer math, so
+    // both engines place every edge case identically. ----
+    QueryDef(
+      "q113_value_histogram",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val bounds = o.agg(min(col("cents")).as("minc"),
+          max(col("cents")).as("maxc"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            expr(s"((cents - minc) * $Bins) DIV (maxc - minc + 1)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("bin")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        b AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM o)
+        SELECT ((cents - minc) * $Bins) // (maxc - minc + 1) AS bin,
+               COUNT(*) AS n,
+               MIN(cents) AS lo_cents,
+               MAX(cents) AS hi_cents,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM o CROSS JOIN b
+        GROUP BY bin
+        ORDER BY bin
+      """.stripMargin.trim)),
+
+    // ---- q114: cohort retention — users cohorted by first-active day;
+    // for each (cohort, day-offset), how many came back and what share of
+    // the cohort that is. Two shuffles on user_id (first-day, activity
+    // dedup), then a (cohort, offset) rollup; the cohort-size join is a
+    // broadcast of the ~#days-row cohort table. ----
+    QueryDef(
+      "q114_cohort_retention",
+      (s, dir) => {
+        val activity = eventsDay(s, dir).select("user_id", "day").distinct()
+        val cohorts = activity.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        val sizes = cohorts.groupBy("cohort_day")
+          .agg(count(lit(1)).as("cohort_n"))
+        activity.join(cohorts, "user_id")
+          .withColumn("offset_days",
+            datediff(col("day"), col("cohort_day")).cast("long"))
+          .groupBy("cohort_day", "offset_days")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort_day")
+          .select(col("cohort_day"), col("offset_days"), col("n_active"),
+            col("cohort_n"),
+            Q.out6(col("n_active").cast("double") / col("cohort_n"))
+              .as("retention"))
+          .orderBy("cohort_day", "offset_days")
+      },
+      Some(s"""
+        WITH activity AS (
+          SELECT DISTINCT user_id, day FROM ($oracleEventsDay)
+        ),
+        cohorts AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_day, COUNT(*) AS cohort_n FROM cohorts GROUP BY cohort_day
+        ),
+        ret AS (
+          SELECT cohort_day,
+                 CAST(date_diff('day', cohort_day, day) AS BIGINT)
+                   AS offset_days,
+                 COUNT(*) AS n_active
+          FROM activity JOIN cohorts USING (user_id)
+          GROUP BY cohort_day, offset_days
+        )
+        SELECT cohort_day, offset_days, n_active, cohort_n,
+               CAST(CAST(CAST(n_active AS DOUBLE) / cohort_n
+                 AS DECIMAL(38,6)) AS DOUBLE) AS retention
+        FROM ret JOIN sizes USING (cohort_day)
+        ORDER BY cohort_day, offset_days
+      """.stripMargin.trim)),
+
+    // ---- q115: cumulative unique users by day — the "distinct so far"
+    // curve WITHOUT a day×user quadratic window: each user contributes once
+    // at their first-active day, the running total then accumulates over
+    // the ~#days-row daily table (the only unpartitioned window, bounded by
+    // the calendar). DAU joins in from the same deduped activity. ----
+    QueryDef(
+      "q115_cumulative_users",
+      (s, dir) => {
+        val activity = eventsDay(s, dir).select("user_id", "day").distinct()
+        val dau = activity.groupBy("day").agg(count(lit(1)).as("dau"))
+        val firsts = activity.groupBy("user_id")
+          .agg(min(col("day")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_users"))
+        val wDays = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dau.join(firsts, Seq("day"), "left")
+          .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+          .withColumn("cum_users", sum(col("new_users")).over(wDays))
+          .select("day", "dau", "new_users", "cum_users")
+          .orderBy("day")
+      },
+      Some(s"""
+        WITH activity AS (
+          SELECT DISTINCT user_id, day FROM ($oracleEventsDay)
+        ),
+        dau AS (
+          SELECT day, COUNT(*) AS dau FROM activity GROUP BY day
+        ),
+        firsts AS (
+          SELECT day, COUNT(*) AS new_users
+          FROM (SELECT user_id, MIN(day) AS day FROM activity GROUP BY user_id)
+          GROUP BY day
+        )
+        SELECT d.day, d.dau,
+               COALESCE(f.new_users, 0) AS new_users,
+               CAST(SUM(COALESCE(f.new_users, 0)) OVER (ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_users
+        FROM dau d LEFT JOIN firsts f USING (day)
+        ORDER BY d.day
+      """.stripMargin.trim))
+  )
+}

@@ -138,7 +138,9 @@ class PlanSpec extends AnyFunSuite {
       "q95_unigram_surprisal", // broadcast of the single-row token total N
       "q96_shard_assignment",  // broadcast of the single-row token total N
       "q102_source_overlap",   // #sources x #sources counts-only pair frame
-      "q107_length_buckets")   // broadcast of the single-row corpus max length
+      "q107_length_buckets",   // broadcast of the single-row corpus max length
+      "q112_part_value_share", // broadcast of the single-row revenue total
+      "q113_value_histogram")  // broadcast of the single-row min/max bounds
     Registry.all.foreach { q =>
       val p = q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       val cartesian = p.contains("CartesianProduct") ||

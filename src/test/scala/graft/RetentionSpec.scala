@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the decision-support/retention batch (q111–q115) beyond
+  * the DuckDB oracle, plus the plan shapes the scale story depends on. */
+class RetentionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(name: String) =
+    Registry.queries(name)(spark, TestSpark.sf0001)
+
+  test("q111: one pass over lineitem — no self-join, supplier broadcasts") {
+    val df = run("q111_sole_failing_supplier")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast")
+    // The Q21 rewrite's whole point: lineitem is scanned once, not probed
+    // per-row by two correlated EXISTS.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expect exactly lineitem + supplier scans, got $scans")
+    df.collect().foreach { r =>
+      assert(r.getLong(2) >= 1L, s"numwait must be positive: $r")
+    }
+  }
+
+  test("q112: shares are a proper partial decomposition of the total") {
+    val rows = run("q112_part_value_share").collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(2))
+    assert(shares.forall(s => s > 1.0 / 2000 && s <= 1.0),
+      "every kept part exceeds the threshold share")
+    // Each share rounds through DECIMAL(38,6) — allow half-ulp-of-scale-6
+    // rounding per row on the sum bound.
+    assert(shares.sum <= 1.0 + shares.length * 5e-7,
+      "kept shares cannot exceed the whole")
+  }
+
+  test("q113: histogram partitions the orders exactly") {
+    val rows = run("q113_value_histogram").collect()
+    val nOrders = Tables.read(spark, TestSpark.sf0001, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == nOrders, "row conservation")
+    val bins = rows.map(_.getLong(0))
+    assert(bins.forall(b => b >= 0 && b < 20), "bin index range")
+    assert(bins.sorted.sameElements(bins), "sorted by bin")
+    // Bin value ranges must not overlap: each bin's hi < next bin's lo.
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) < b.getLong(2),
+          s"bin ranges overlap: ${a.getLong(0)} hi=${a.getLong(3)} vs " +
+            s"${b.getLong(0)} lo=${b.getLong(2)}")
+      case _ =>
+    }
+  }
+
+  test("q114: offset-0 retention is exactly 1.0 for every cohort") {
+    val rows = run("q114_cohort_retention").collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getLong(1) == 0L)
+    assert(day0.nonEmpty, "every cohort has an offset-0 row")
+    day0.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"offset 0 must count the whole cohort: $r")
+      assert(r.getDouble(4) == 1.0, s"offset-0 retention must be 1.0: $r")
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0,
+        s"retention out of (0,1]: $r")
+    }
+  }
+
+  test("q115: cumulative-unique curve is monotone and lands on the total") {
+    val rows = run("q115_cumulative_users").collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) >= a.getLong(3), "cum_users monotone")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"new_users <= dau: $r")
+    }
+    val totalUsers = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.last.getLong(3) == totalUsers,
+      "curve must converge to the distinct-user total")
+    assert(rows.map(_.getLong(2)).sum == totalUsers,
+      "every user is new exactly once")
+  }
+}

@@ -63,7 +63,10 @@ object ScaleCheck {
       "q95_unigram_surprisal", "q96_shard_assignment",
       // q100 is excluded: embeddings are not replicated (same keyspace), so
       // a "10x" timing would compare equal-sized inputs.
-      "q98_customer_order_histogram", "q99_snapshot_diff", "q101_gap_fill")
+      "q98_customer_order_histogram", "q99_snapshot_diff", "q101_gap_fill",
+      "q103_winsorized_stats", "q104_funnel", "q105_topk_aggregate",
+      "q106_duplicate_spans", "q107_length_buckets", "q108_rag_chunking",
+      "q109_hash_sample", "q110_vocab_growth")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
