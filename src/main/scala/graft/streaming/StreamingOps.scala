@@ -221,6 +221,53 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class Sighting(user_id: Long, day: java.sql.Date)
+
+  /** Streaming twin of q115's new-user detection: emits each user exactly
+    * once, at first sight, tagged with the (event-time) day of that first
+    * sighting. Per-user state is ONE boolean — bounded by user cardinality,
+    * not event volume — and deliberately has no watermark/TTL: expiring it
+    * would re-count a returning user, which is exactly what "new" must
+    * never do (the batch layer's per-user MIN(day) has the same
+    * all-of-history scope). Downstream daily rollups / the cumulative curve
+    * are stateless views over this stream (the batch twin computes them
+    * from the same first-sightings relation — q115's `firsts`). */
+  class FirstSighting
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Date), Sighting] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Date)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Sighting] =
+      if (seen.exists()) Iterator.empty
+      else {
+        // Within one micro-batch the iterator order is arbitrary: the
+        // sighting day is the MIN event day, like the batch MIN(day).
+        val first = rows.map(_._2).minBy(_.getTime)
+        seen.update(true)
+        Iterator.single(Sighting(key, first))
+      }
+  }
+
+  /** First-sighting stream over events with a `ts` column (see
+    * [[FirstSighting]]). */
+  def firstSightingsStream(spark: SparkSession,
+      events: DataFrame): Dataset[Sighting] = {
+    import spark.implicits._
+    events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .select(col("user_id"), col("day"))
+      .as[(Long, java.sql.Date)]
+      .groupByKey(_._1)
+      .transformWithState(new FirstSighting,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** J7: enrichment join of a stream against a static dimension table. */
   def streamStaticJoin(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))

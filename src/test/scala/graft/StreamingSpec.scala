@@ -342,6 +342,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch == board.toMap, s"stream $board vs batch $batch")
     } finally q.stop()
   }
+
+  test("streaming first-sightings match the batch per-user MIN(day) (q115 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs a multi-column-family store → RocksDB.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.firstSightingsStream(spark, in.toDF())
+      .writeStream.format("memory").queryName("sightings")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("update").start()
+    val b1 = Seq(
+      Ev(1, ts("2024-01-02 10:00:00"), 1, "click", 1.0),
+      // Same user twice in one batch, later day first in the sequence: the
+      // sighting must still be the MIN day.
+      Ev(2, ts("2024-01-03 09:00:00"), 2, "click", 1.0),
+      Ev(3, ts("2024-01-01 08:00:00"), 2, "view", 1.0))
+    val b2 = Seq(
+      Ev(4, ts("2024-01-04 10:00:00"), 1, "click", 1.0), // user 1 returns: no row
+      Ev(5, ts("2024-01-05 11:00:00"), 3, "signup", 1.0))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val stream = spark.table("sightings")
+        .select("user_id", "day").as[(Long, java.sql.Date)].collect().toSet
+      // Batch twin: q115's `firsts` relation (per-user MIN day) over
+      // everything the stream ever saw.
+      val batch = Set(
+        (1L, java.sql.Date.valueOf("2024-01-02")),
+        (2L, java.sql.Date.valueOf("2024-01-01")),
+        (3L, java.sql.Date.valueOf("2024-01-05")))
+      assert(stream == batch, s"stream $stream vs batch $batch")
+      // Re-sighted users emit exactly once across all batches.
+      assert(stream.size == 3)
+    } finally q.stop()
+  }
 }
 
 /** Top-level (not nested in the suite): product encoders for classes used
