@@ -335,6 +335,61 @@ object DataloaderQueries {
         FROM f
         GROUP BY source
         ORDER BY source
+      """.stripMargin.trim)),
+
+    // ---- q116: inverted index with BOUNDED posting lists — the search-
+    // engine build step: per informative token (mid-frequency band), the
+    // top-PostK documents by term frequency. The posting-list cap reuses
+    // `graft_topk` (q105/q109): map-side k-bounded heaps mean the shuffle
+    // carries ≤ PostK postings per token per partition — the full
+    // (token → every doc) fan-out never crosses the wire, which is the
+    // difference between indexing and re-sorting the corpus at 100 TB.
+    // Rank: higher tf first, ties by smaller doc_id (the repo-wide
+    // contract, mirrored in the oracle's ORDER BY). ----
+    QueryDef(
+      "q116_inverted_index",
+      (s, dir) => {
+        graft.plans.VectorFunctions.register(s)
+        val tf = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok", "doc_id")
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy("tok")
+          .agg(count(lit(1)).as("df"),
+            expr(s"graft_topk(CAST(tf AS DOUBLE), doc_id, $PostK)").as("top"))
+          .filter(col("df") >= DfLo && col("df") <= DfHi)
+          .select(col("tok"), col("df"),
+            posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("tok"), col("df"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("e.id").as("doc_id"), col("e.score").cast("long").as("tf"))
+          .orderBy("tok", "rank")
+      },
+      Some(s"""
+        WITH tf AS (
+          SELECT tok, doc_id, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY tok, doc_id
+        ),
+        df AS (
+          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        )
+        SELECT tok, df, CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(tf AS BIGINT) AS tf
+        FROM (
+          SELECT tok, doc_id, tf,
+                 ROW_NUMBER() OVER (PARTITION BY tok
+                   ORDER BY tf DESC, doc_id) AS rank
+          FROM tf) JOIN df USING (tok)
+        WHERE df BETWEEN $DfLo AND $DfHi AND rank <= $PostK
+        ORDER BY tok, rank
       """.stripMargin.trim))
   )
+
+  /** q116 posting-list cap and informative document-frequency band
+    * (interpolated into both sides). */
+  private val PostK = 5
+  private val DfLo = 25
+  private val DfHi = 400
 }

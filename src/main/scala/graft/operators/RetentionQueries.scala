@@ -257,6 +257,69 @@ object RetentionQueries {
                  AS cum_users
         FROM dau d LEFT JOIN firsts f USING (day)
         ORDER BY d.day
+      """.stripMargin.trim)),
+
+    // ---- q117: per-group linear trend — least-squares slope/intercept of
+    // daily spend per event type, EXACTLY. The engines' regr_slope/
+    // regr_intercept accumulate doubles in partition order (never hash-
+    // comparable); instead the four moment sums (Σx, Σy, Σxy, Σx²) are
+    // integer/decimal-exact (x = day index, y = integer cents), and the
+    // closed forms  slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    // intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)  divide only at the
+    // final projection. One shuffle on (event_type, day), one on
+    // event_type; DECIMAL(38,0) moments keep 100 TB-scale sums exact. ----
+    QueryDef(
+      "q117_daily_trend",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("event_type", "day")
+          .agg(sum(col("cents")).as("y"))
+          .withColumn("x", datediff(col("day"), to_date(lit("2024-01-01")))
+            .cast("long"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+          .withColumn("det", col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .select(col("event_type"), col("n_days"),
+            Q.out6((col("n_days") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") / col("det").cast("double")).as("slope"),
+            Q.out6((col("sy") * col("sxx") - col("sx") * col("sxy"))
+              .cast("double") / col("det").cast("double")).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events
+          GROUP BY event_type, date_trunc('day', ts)
+        ),
+        m AS (
+          SELECT event_type,
+                 COUNT(*) AS n_days,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+          FROM daily
+          GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               CAST(CAST(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+                 CAST(n_days * sxx - sx * sx AS DOUBLE)
+                 AS DECIMAL(38,6)) AS DOUBLE) AS slope,
+               CAST(CAST(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+                 CAST(n_days * sxx - sx * sx AS DOUBLE)
+                 AS DECIMAL(38,6)) AS DOUBLE) AS intercept
+        FROM m
+        ORDER BY event_type
       """.stripMargin.trim))
   )
 }

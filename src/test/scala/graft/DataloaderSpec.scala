@@ -122,6 +122,31 @@ class DataloaderSpec extends AnyFunSuite {
     assert(!allPrefix, "hash sample must differ from the doc_id prefix")
   }
 
+  test("q116: posting lists are k-bounded, tf-descending, and aggregate-built") {
+    val df = run("q116_inverted_index")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_topk"),
+      s"posting cap must be a partial/final aggregate:\n$p")
+    assert(!p.contains("Window"), s"no per-token window sort expected:\n$p")
+    val byTok = df.collect().groupBy(_.getString(0))
+    assert(byTok.nonEmpty)
+    byTok.foreach { case (tok, rows) =>
+      assert(rows.length <= 5, s"$tok: posting list exceeds PostK")
+      val ranks = rows.map(_.getLong(2)).sorted
+      assert(ranks.sameElements(1L to rows.length), s"$tok: ranks not 1..n")
+      val byRank = rows.sortBy(_.getLong(2))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          val (tfA, tfB) = (a.getLong(4), b.getLong(4))
+          assert(tfA > tfB || (tfA == tfB && a.getLong(3) < b.getLong(3)),
+            s"$tok: postings must rank by (tf desc, doc_id)")
+        case _ =>
+      }
+      val df0 = rows.head.getLong(1)
+      assert(df0 >= 25 && df0 <= 400, s"$tok: df outside the declared band")
+    }
+  }
+
   test("q110: vocabulary accounting per source") {
     val rows = run("q110_vocab_growth").collect()
     assert(rows.nonEmpty)

@@ -88,4 +88,37 @@ class RetentionSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == totalUsers,
       "every user is new exactly once")
   }
+
+  test("q117: slope/intercept match an independent exact re-derivation") {
+    val out = run("q117_daily_trend").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    // Re-derive from the raw events with BigInt arithmetic (a different
+    // code path than the query's decimal sums).
+    val daily = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("event_type", "day").agg(sum("cents").as("y"))
+      .withColumn("x",
+        datediff(col("day"), to_date(lit("2024-01-01"))).cast("long"))
+      .select("event_type", "x", "y").collect()
+      .groupBy(_.getString(0))
+    daily.foreach { case (et, rows) =>
+      val xs = rows.map(r => BigInt(r.getLong(1)))
+      val ys = rows.map(r => BigInt(r.getLong(2)))
+      val n = BigInt(rows.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val det = (n * sxx - sx * sx).toDouble
+      val slope = (n * sxy - sx * sy).toDouble / det
+      val intercept = (sy * sxx - sx * sxy).toDouble / det
+      val (nDays, qSlope, qIntercept) = out(et)
+      assert(nDays == rows.length, s"$et: day count")
+      assert(math.abs(qSlope - slope) < 1e-6, s"$et: slope $qSlope vs $slope")
+      assert(math.abs(qIntercept - intercept) < 1e-6,
+        s"$et: intercept $qIntercept vs $intercept")
+    }
+  }
 }
