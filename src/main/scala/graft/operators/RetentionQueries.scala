@@ -58,11 +58,20 @@ object RetentionQueries {
       "q111_sole_failing_supplier",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val failed = when(col("l_returnflag") === "R", col("l_suppkey"))
-        val perOrder = li.groupBy("l_orderkey")
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(failed).as("n_fail"),
-            max(failed).as("sole_failer"))
+        // Two-level aggregation instead of two COUNT(DISTINCT)s in one agg:
+        // multiple distinct aggregates plan an Expand (3x the input rows
+        // through the shuffle). Level 1 collapses to distinct
+        // (order, supplier) pairs with a did-fail flag; level 2 is then all
+        // plain aggregates on the already-distinct pairs. Same shuffle key
+        // (l_orderkey) both levels, so level 2 is shuffle-free under AQE.
+        val pairs = li.groupBy("l_orderkey", "l_suppkey")
+          .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("did_fail"))
+        val perOrder = pairs.groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_supp"),
+            sum(col("did_fail")).as("n_fail"),
+            max(when(col("did_fail") === 1L, col("l_suppkey")))
+              .as("sole_failer"))
           .filter(col("n_supp") >= 2 && col("n_fail") === 1)
         perOrder.groupBy(col("sole_failer").as("s_suppkey"))
           .agg(count(lit(1)).as("numwait"))
