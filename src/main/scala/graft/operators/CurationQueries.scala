@@ -395,6 +395,58 @@ object CurationQueries {
         FROM counts ca JOIN counts cb ON ca.source < cb.source
         LEFT JOIN inter i ON i.src_a = ca.source AND i.src_b = cb.source
         ORDER BY src_a, src_b
+      """.stripMargin.trim)),
+
+    // ---- q118: single-pass table profiling — the Deequ-style data-
+    // validation report a pipeline runs before training: per column, row
+    // count, null count, exact distinct count, min/max. The table MELTS to
+    // (column, value-as-string) rows first — 5x the rows through ONE scan
+    // and one shuffle keyed by column name — instead of N separate
+    // aggregation passes (N scans) or N COUNT(DISTINCT)s in one aggregate
+    // (an N-way Expand). min/max compare the string form (lexicographic;
+    // uniform-width doc_id/n_chars renderings make that numeric-consistent
+    // here — the metrics that gate pipelines are the counts). ----
+    QueryDef(
+      "q118_table_profile",
+      (s, dir) => {
+        val melted = docs(s, dir).select(
+          posexplode(array(
+            struct(lit("doc_id").as("col"),
+              format_string("%010d", col("doc_id")).as("v")),
+            struct(lit("lang").as("col"), col("lang").as("v")),
+            struct(lit("n_chars").as("col"),
+              format_string("%010d", col("n_chars")).as("v")),
+            struct(lit("source").as("col"), col("source").as("v")),
+            struct(lit("text").as("col"), col("text").as("v")))))
+          .select(col("col.col").as("c"), col("col.v").as("v"))
+        melted.groupBy("c")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .orderBy("c")
+      },
+      Some("""
+        WITH melted AS (
+          SELECT u.c, u.v FROM documents,
+          LATERAL (VALUES
+            ('doc_id', printf('%010d', doc_id)),
+            ('lang', lang),
+            ('n_chars', printf('%010d', n_chars)),
+            ('source', source),
+            ('text', text)) AS u(c, v)
+        )
+        SELECT c,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               COUNT(DISTINCT v) AS n_distinct,
+               MIN(v) AS min_v,
+               MAX(v) AS max_v
+        FROM melted
+        GROUP BY c
+        ORDER BY c
       """.stripMargin.trim))
   )
 }

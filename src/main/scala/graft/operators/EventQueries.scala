@@ -282,6 +282,46 @@ object EventQueries {
           SELECT CAST(3 AS BIGINT), 'purchase_after_click', COUNT(*) FROM s3
         )
         ORDER BY stage
+      """.stripMargin.trim)),
+
+    // ---- Event-sequence trigram mining: the most common 3-step behavior
+    // paths across all users. Per user, events order by (us, event_id) —
+    // the id tiebreak makes same-microsecond sequences deterministic — and
+    // each event pairs with its next two via LEAD over the user-partitioned
+    // window (bounded per user, never a global sort); the trigram counts
+    // then roll up in one keyed aggregation. Top 20 by frequency. ----
+    QueryDef(
+      "q119_event_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        eventsUs(s, dir)
+          .select(col("user_id"), col("us"), col("event_id"),
+            col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("trigram"))
+          .groupBy("trigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("trigram"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH seq AS (
+          SELECT event_type,
+                 LEAD(event_type, 1) OVER w AS e2,
+                 LEAD(event_type, 2) OVER w AS e3
+          FROM ($oracleEventsUs)
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        )
+        SELECT concat(event_type, '>', e2, '>', e3) AS trigram,
+               COUNT(*) AS n
+        FROM seq
+        WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY trigram
+        ORDER BY n DESC, trigram
+        LIMIT 20
       """.stripMargin.trim))
   )
 }

@@ -147,6 +147,20 @@ class DataloaderSpec extends AnyFunSuite {
     }
   }
 
+  test("q118: profile metrics are consistent with the table") {
+    val rows = run("q118_table_profile").collect()
+    val nDocs = docTokens.count()
+    assert(rows.length == 5, "one row per profiled column")
+    rows.foreach { r =>
+      assert(r.getLong(1) == nDocs, s"n_rows must equal the table size: $r")
+      assert(r.getLong(2) == 0L, s"fixture has no nulls: $r")
+      assert(r.getLong(3) <= r.getLong(1), s"distinct <= rows: $r")
+      assert(r.getString(4) <= r.getString(5), s"min <= max: $r")
+    }
+    val byCol = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byCol("doc_id") == nDocs, "doc_id is unique")
+  }
+
   test("q110: vocabulary accounting per source") {
     val rows = run("q110_vocab_growth").collect()
     assert(rows.nonEmpty)

@@ -89,6 +89,39 @@ class RetentionSpec extends AnyFunSuite {
       "every user is new exactly once")
   }
 
+  test("q119: trigram counts conserve against the per-user event totals") {
+    val rows = run("q119_event_trigrams").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) > b.getLong(1) ||
+          (a.getLong(1) == b.getLong(1) &&
+            a.getString(0) < b.getString(0)), "ordered by (n desc, trigram)")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getString(0).count(_ == '>') == 2, s"three steps: $r")
+      assert(r.getLong(1) >= 1L)
+    }
+    // Total trigram mass across ALL trigrams (not just top 20) is
+    // sum(max(0, events_per_user - 2)).
+    val expected = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(sum(greatest(col("n") - 2L, lit(0L)))).head.getLong(0)
+    // Re-derive without the limit: the declared query's limit(20) is
+    // presentation, the conservation law is about the aggregate beneath it.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val totalTrigrams = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .count()
+    assert(totalTrigrams == expected, "trigram conservation")
+    assert(rows.map(_.getLong(1)).sum <= expected)
+  }
+
   test("q117: slope/intercept match an independent exact re-derivation") {
     val out = run("q117_daily_trend").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
