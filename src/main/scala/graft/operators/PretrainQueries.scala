@@ -625,6 +625,73 @@ object PretrainQueries {
         FROM placed CROSS JOIN tot
         GROUP BY out_shard, tt
         ORDER BY out_shard
+      """.stripMargin.trim)),
+
+    // ---- q120: curriculum ordering — materialize the deterministic global
+    // training order: documents banded by repetition quality (q89's
+    // distinct-token ratio; low-quality bands first, so training anneals
+    // toward clean data), shuffled *within* each band by md5. The GLOBAL
+    // position comes from the two-level trick (q87/q91): ranks are computed
+    // per (band, hash-prefix bucket) — parallel windows — and offset by an
+    // exclusive scan over the tiny (bands × 256)-row bucket-count table;
+    // the corpus itself never funnels through one partition, which is the
+    // difference between writing a curriculum file and globally sorting
+    // 100 TB. Band boundaries multiply the SAME decimal-rounded double by 5
+    // in both engines (identical IEEE ops → identical floor). ----
+    QueryDef(
+      "q120_curriculum_order",
+      (s, dir) => {
+        val quality = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+          .withColumn("ratio",
+            (col("n_distinct").cast("double") / col("n_tokens"))
+              .cast("decimal(18,6)").cast("double"))
+          .withColumn("band",
+            least(lit(4L), floor(col("ratio") * 5).cast("long")))
+        val keyed = quality.select(col("doc_id"), col("band"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+          .withColumn("bucket", substring(col("h"), 1, 2))
+        val wBucket = Window.partitionBy("band", "bucket").orderBy("h", "doc_id")
+        val ranked = keyed.withColumn("local_rk", row_number().over(wBucket))
+        // Exclusive scan across ALL (band, bucket) cells in curriculum
+        // order: ≤ 5 × 256 rows, bounded by construction.
+        val wScan = Window.orderBy("band", "bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = keyed.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("before", coalesce(sum(col("n")).over(wScan), lit(0L)))
+          .select("band", "bucket", "before")
+        ranked.join(broadcast(offsets), Seq("band", "bucket"))
+          .select((col("before") + col("local_rk")).cast("long").as("position"),
+            col("doc_id"), col("band"))
+          .orderBy("position")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok
+        ),
+        quality AS (
+          SELECT doc_id,
+                 CAST(CAST(CAST(COUNT(*) AS DOUBLE) / SUM(c)
+                   AS DECIMAL(18,6)) AS DOUBLE) AS ratio
+          FROM counts GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id,
+                 least(4, CAST(floor(ratio * 5) AS BIGINT)) AS band
+          FROM quality
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY band,
+                 md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position,
+               doc_id, band
+        FROM banded
+        ORDER BY position
       """.stripMargin.trim))
   )
 }

@@ -126,6 +126,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q120 curriculum order is a permutation with parallel rank windows") {
+    val df = Registry.queries("q120_curriculum_order")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // The corpus-sized ranking window must partition by (band, bucket);
+    // only the bounded (bands x 256)-cell offset scan may single-partition.
+    assert(p.contains("hashpartitioning(band"),
+      s"rank window must partition by (band, bucket):\n$p")
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      s"unexpected single-partition exchange:\n$p")
+    val rows = df.collect()
+    val positions = rows.map(_.getLong(0)).sorted
+    assert(positions.sameElements(1L to rows.length),
+      "positions must be the permutation 1..n")
+    // Bands occupy contiguous position ranges in ascending band order.
+    val byPos = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    byPos.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "bands must be non-decreasing")
+      case _ =>
+    }
+  }
+
   test("no declared query plans an unbounded cartesian join") {
     // Cross/nested-loop joins are allowed only where one side is provably
     // bounded and documented as such at the query site:
