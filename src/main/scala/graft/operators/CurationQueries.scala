@@ -410,7 +410,7 @@ object CurationQueries {
       "q118_table_profile",
       (s, dir) => {
         val melted = docs(s, dir).select(
-          posexplode(array(
+          explode(array(
             struct(lit("doc_id").as("col"),
               format_string("%010d", col("doc_id")).as("v")),
             struct(lit("lang").as("col"), col("lang").as("v")),

@@ -50,6 +50,12 @@ object DataloaderQueries {
   /** q109 sample size per language. */
   private val SampleK = 20
 
+  /** q116 posting-list cap and informative document-frequency band
+    * (interpolated into both sides). */
+  private val PostK = 5
+  private val DfLo = 25
+  private val DfHi = 400
+
   /** q107 bucket boundaries (powers of two). The top bucket is a catch-all:
     * the synthetic corpus tops out well below it, and at real scale anything
     * longer is truncated by the packing step (q87) before batching. */
@@ -386,10 +392,4 @@ object DataloaderQueries {
         ORDER BY tok, rank
       """.stripMargin.trim))
   )
-
-  /** q116 posting-list cap and informative document-frequency band
-    * (interpolated into both sides). */
-  private val PostK = 5
-  private val DfLo = 25
-  private val DfHi = 400
 }

@@ -280,19 +280,27 @@ object RetentionQueries {
     QueryDef(
       "q117_daily_trend",
       (s, dir) => {
-        val daily = Tables.events(s, dir)
-          .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+        val daily = eventsDay(s, dir)
           .withColumn("cents", round(col("value") * 100).cast("long"))
           .groupBy("event_type", "day")
           .agg(sum(col("cents")).as("y"))
           .withColumn("x", datediff(col("day"), to_date(lit("2024-01-01")))
             .cast("long"))
+        // Products go DECIMAL-first: x*y in BIGINT would wrap past 2^63 at
+        // the daily-spend magnitudes the 100 TB claim implies (silently in
+        // non-ANSI Spark, as an error in DuckDB). Decimal×decimal is exact.
         daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"),
             sum(col("x").cast("decimal(38,0)")).as("sx"),
             sum(col("y").cast("decimal(38,0)")).as("sy"),
-            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
-            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+            sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+              .as("sxy"),
+            sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+              .as("sxx"))
+          // A single observed day has det = 0 (no slope exists): Spark's
+          // non-ANSI double division would yield NULL but DuckDB Inf —
+          // exclude degenerate groups on BOTH sides instead.
+          .filter(col("n_days") >= 2)
           .withColumn("det", col("n_days") * col("sxx") - col("sx") * col("sx"))
           .select(col("event_type"), col("n_days"),
             Q.out6((col("n_days") * col("sxy") - col("sx") * col("sy"))
@@ -315,10 +323,11 @@ object RetentionQueries {
                  COUNT(*) AS n_days,
                  SUM(CAST(x AS DECIMAL(38,0))) AS sx,
                  SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
-                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
           FROM daily
           GROUP BY event_type
+          HAVING COUNT(*) >= 2
         )
         SELECT event_type, n_days,
                CAST(CAST(CAST(n_days * sxy - sx * sy AS DOUBLE) /

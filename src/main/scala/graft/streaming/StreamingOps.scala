@@ -230,8 +230,14 @@ object StreamingOps {
     * would re-count a returning user, which is exactly what "new" must
     * never do (the batch layer's per-user MIN(day) has the same
     * all-of-history scope). Downstream daily rollups / the cumulative curve
-    * are stateless views over this stream (the batch twin computes them
-    * from the same first-sightings relation — q115's `firsts`). */
+    * are stateless views over this stream.
+    *
+    * Lambda caveat (like curationStream's): "first" is first in ARRIVAL
+    * order. Within one micro-batch the sighting day is the MIN event day,
+    * but a LATE event arriving in a later batch with an earlier day does
+    * not retract the already-emitted sighting — the batch layer's exact
+    * MIN(day) recomputation (q115) is the correction path, which is the
+    * lambda division of labor. */
   class FirstSighting
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Date), Sighting] {
