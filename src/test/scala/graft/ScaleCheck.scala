@@ -66,7 +66,11 @@ object ScaleCheck {
       "q98_customer_order_histogram", "q99_snapshot_diff", "q101_gap_fill",
       "q103_winsorized_stats", "q104_funnel", "q105_topk_aggregate",
       "q106_duplicate_spans", "q107_length_buckets", "q108_rag_chunking",
-      "q109_hash_sample", "q110_vocab_growth")
+      "q109_hash_sample", "q110_vocab_growth",
+      "q111_sole_failing_supplier", "q112_part_value_share",
+      "q113_value_histogram", "q114_cohort_retention",
+      "q115_cumulative_users", "q116_inverted_index", "q117_daily_trend",
+      "q118_table_profile", "q119_event_trigrams", "q120_curriculum_order")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

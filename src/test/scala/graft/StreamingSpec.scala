@@ -203,6 +203,28 @@ class StreamingSpec extends AnyFunSuite {
       "stream replay must equal batch recompute (lambda unification)")
   }
 
+  test("first-sightings replay of the real event log equals batch q115 new_users") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = StreamingOps.firstSightingsStream(spark,
+        StreamingOps.fileReplay(spark, TestSpark.sf0001))
+      .writeStream.format("memory").queryName("sightings_replay")
+      .option("checkpointLocation", checkpoint())
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(120000) finally q.stop()
+    // AvailableNow replay sees the whole log (no cross-batch late data), so
+    // the arrival-order caveat vanishes and parity with batch q115 is
+    // exact: per-day first-sighting counts == the declared new_users curve.
+    val streamed = spark.table("sightings_replay")
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val batch = Registry.queries("q115_cumulative_users")(
+        spark, TestSpark.sf0001)
+      .select("day", "new_users").filter(col("new_users") > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "stream replay must equal the batch new-user curve (lambda unification)")
+  }
+
   test("A7/J10: upsert sink serves exactly the latest row per key") {
     val target = Files.createTempDirectory("graft-serve").toString + "/users"
     val stream = StreamingOps.fileReplay(spark, TestSpark.sf0001)
