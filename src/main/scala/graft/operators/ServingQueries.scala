@@ -85,6 +85,62 @@ object ServingQueries {
         FROM (SELECT * FROM batch UNION ALL SELECT * FROM speed)
         GROUP BY day
         ORDER BY day
+      """.stripMargin.trim)),
+
+    // ---- CDC apply: materialize a snapshot from an insert/update/delete
+    // change log — the serving-layer twin of a Debezium/Delta CDF feed. The
+    // fixture log derives deterministically from orders: every order
+    // INSERTs at seq 1; keys ≡ 0 (mod 7) UPDATE the price at seq 2; keys
+    // ≡ 0 (mod 13) DELETE at seq 3. Apply = arg_max by seq per key, then
+    // drop keys whose LATEST op is the tombstone — one shuffle on the key,
+    // no window sort (max_by is an ordinary aggregate). A late-arriving
+    // lower-seq change can never override — exactly the Kudu/Delta
+    // last-writer-wins contract q47 expresses for event upserts. ----
+    QueryDef(
+      "q121_cdc_apply",
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val ins = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+          col("cents"))
+        val upd = o.filter(col("k") % 7 === 0)
+          .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+            (col("cents") + 10000L).as("cents"))
+        val del = o.filter(col("k") % 13 === 0)
+          .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+            lit(null).cast("long").as("cents"))
+        ins.unionByName(upd).unionByName(del)
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_changes"),
+            max_by(col("op"), col("seq")).as("last_op"),
+            max_by(col("cents"), col("seq")).as("cents"))
+          .filter(col("last_op") =!= "D")
+          .select(col("k"), col("n_changes"), col("last_op"), col("cents"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        log AS (
+          SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, cents FROM o
+          UNION ALL
+          SELECT k, 2, 'U', cents + 10000 FROM o WHERE k % 7 = 0
+          UNION ALL
+          SELECT k, 3, 'D', CAST(NULL AS BIGINT) FROM o WHERE k % 13 = 0
+        ),
+        applied AS (
+          SELECT k, COUNT(*) AS n_changes,
+                 arg_max(op, seq) AS last_op,
+                 arg_max(cents, seq) AS cents
+          FROM log GROUP BY k
+        )
+        SELECT k, n_changes, last_op, cents
+        FROM applied WHERE last_op <> 'D'
+        ORDER BY k
       """.stripMargin.trim))
   )
 }

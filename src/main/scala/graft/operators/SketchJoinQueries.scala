@@ -89,6 +89,86 @@ object SketchJoinQueries {
         GROUP BY cust_nation, supp_nation, yr
         HAVING COUNT(*) >= 20
         ORDER BY cust_nation, supp_nation, yr
+      """.stripMargin.trim)),
+
+    // ---- Prefix-filtered EXACT set-similarity join (PPJoin shape): all
+    // distinct-token-set pairs with Jaccard > 0.8, where candidate pairs
+    // come from an EQUI-join on rare "prefix" tokens instead of set×set.
+    // Under any total token order, two sets with J > t MUST share a token
+    // within their first (s − ⌈t·s⌉ + 1) tokens — so the equi-join is
+    // provably complete, and the ORACLE proves it: the SQL side is the
+    // naive quadratic join with no prefix logic at all; hash-equality means
+    // no pair was pruned away. Order = document frequency ascending
+    // (rarest-first minimizes candidates); the df-rank window runs over the
+    // VOCABULARY table (tiny relative to any corpus — the q35 caveat), and
+    // prefix length uses integer math: ⌈0.8s⌉ = (4s+4) DIV 5. This is the
+    // exact-join complement of q50's MinHash approximation: same shuffle-
+    // bounded shape (explode prefixes → keyed join → verify candidates),
+    // zero false negatives. ----
+    QueryDef(
+      "q122_prefix_jaccard_join",
+      (s, dir) => {
+        val sets = Tables.read(s, dir, "documents")
+          .select(sort_array(array_distinct(split(col("text"), " ")))
+            .as("toks"), col("doc_id"))
+          .groupBy("toks").agg(min(col("doc_id")).as("sid"))
+          .withColumn("sz", size(col("toks")).cast("long"))
+        val ord = sets.select(explode(col("toks")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_sets"))
+          .withColumn("ord",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy("n_sets", "tok")))
+          .select("tok", "ord")
+        val ordered = sets.select(col("sid"), explode(col("toks")).as("tok"))
+          .join(broadcast(ord), "tok")
+          .groupBy("sid")
+          .agg(expr("transform(sort_array(collect_list(struct(ord, tok))), x -> x.tok)")
+            .as("otoks"))
+        val prefixes = ordered.join(sets.select("sid", "sz"), "sid")
+          .withColumn("p", col("sz") - expr("(4 * sz + 4) DIV 5") + 1L)
+          .select(col("sid"),
+            explode(expr("slice(otoks, 1, CAST(p AS INT))")).as("tok"))
+        val cands = prefixes.as("a")
+          .join(prefixes.as("b"), col("a.tok") === col("b.tok") &&
+            col("a.sid") < col("b.sid"))
+          .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"))
+          .distinct()
+        val side = sets.select(col("sid"), col("toks"), col("sz"))
+        cands
+          .join(side.select(col("sid").as("sid_a"), col("toks").as("ta"),
+            col("sz").as("n_a")), "sid_a")
+          .join(side.select(col("sid").as("sid_b"), col("toks").as("tb"),
+            col("sz").as("n_b")), "sid_b")
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("jac", col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")))
+          .filter(col("jac") > 0.8)
+          .select(col("sid_a"), col("sid_b"), col("n_a"), col("n_b"),
+            col("inter"), col("jac").cast("decimal(9,6)").cast("double")
+              .as("jac"))
+          .orderBy("sid_a", "sid_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT list_sort(list_distinct(string_split(text, ' '))) AS toks,
+                 doc_id
+          FROM documents
+        ),
+        sets AS (
+          SELECT toks, MIN(doc_id) AS sid, CAST(len(toks) AS BIGINT) AS sz
+          FROM t GROUP BY toks
+        )
+        SELECT a.sid AS sid_a, b.sid AS sid_b,
+               a.sz AS n_a, b.sz AS n_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+               CAST(CAST(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+                 AS DECIMAL(9,6)) AS DOUBLE) AS jac
+        FROM sets a JOIN sets b ON a.sid < b.sid
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) > 0.8
+        ORDER BY sid_a, sid_b
       """.stripMargin.trim))
   )
 }

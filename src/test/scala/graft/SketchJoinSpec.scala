@@ -37,4 +37,56 @@ class SketchJoinSpec extends AnyFunSuite {
         s"CMS overestimate out of bound for $t: $est vs $n")
     }
   }
+
+  test("q122: prefix filtering prunes candidates and never plans a cartesian") {
+    val df = Registry.queries("q122_prefix_jaccard_join")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // The whole point vs q33's bounded crossJoin: candidates come from an
+    // EQUI-join on prefix tokens, so no cartesian/nested-loop appears.
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"canonical pair order: $r")
+      assert(r.getDouble(5) > 0.8 && r.getDouble(5) <= 1.0,
+        s"jaccard in (0.8, 1]: $r")
+      val (na, nb, inter) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(inter <= math.min(na, nb), s"intersection bound: $r")
+    }
+    // Pruning is real: the prefix equi-join must generate strictly fewer
+    // candidate pairs than the quadratic set x set space it replaces.
+    val sets = Tables.read(spark, TestSpark.sf0001, "documents")
+      .select(sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      .distinct().count()
+    val allPairs = sets * (sets - 1) / 2
+    assert(rows.length < allPairs,
+      s"expected fewer matches than the $allPairs-pair quadratic space")
+  }
+
+  test("q121: CDC apply keeps exactly the non-tombstoned keys with last-writer state") {
+    val rows = Registry.queries("q121_cdc_apply")(spark, TestSpark.sf0001)
+      .collect()
+    val orders = Tables.read(spark, TestSpark.sf0001, "orders")
+      .select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Long)].collect().toMap
+    val expectedKeys = orders.keySet.filter(_ % 13 != 0)
+    assert(rows.map(_.getLong(0)).toSet == expectedKeys,
+      "survivors are exactly the non-deleted keys")
+    rows.foreach { r =>
+      val (k, nChanges, lastOp, cents) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+      if (k % 7 == 0) {
+        assert(lastOp == "U" && cents == orders(k) + 10000L,
+          s"updated key must serve the updated price: $r")
+        assert(nChanges == 2L, s"insert+update: $r")
+      } else {
+        assert(lastOp == "I" && cents == orders(k),
+          s"untouched key serves the inserted price: $r")
+        assert(nChanges == 1L, s"insert only: $r")
+      }
+    }
+  }
 }
