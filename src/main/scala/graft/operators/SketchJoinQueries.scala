@@ -92,52 +92,60 @@ object SketchJoinQueries {
       """.stripMargin.trim)),
 
     // ---- Prefix-filtered EXACT set-similarity join (PPJoin shape): all
-    // distinct-token-set pairs with Jaccard > 0.8, where candidate pairs
-    // come from an EQUI-join on rare "prefix" tokens instead of set×set.
-    // Under any total token order, two sets with J > t MUST share a token
-    // within their first (s − ⌈t·s⌉ + 1) tokens — so the equi-join is
-    // provably complete, and the ORACLE proves it: the SQL side is the
+    // distinct 3-gram-SHINGLE-set pairs with Jaccard > 0.8, where candidate
+    // pairs come from an EQUI-join on rare "prefix" shingles instead of
+    // set×set. Under any total order, two sets with J > t MUST share an
+    // element within their first (s − ⌈t·s⌉ + 1) elements — the equi-join
+    // is provably complete, and the ORACLE proves it: the SQL side is the
     // naive quadratic join with no prefix logic at all; hash-equality means
-    // no pair was pruned away. Order = document frequency ascending
-    // (rarest-first minimizes candidates); the df-rank window runs over the
-    // VOCABULARY table (tiny relative to any corpus — the q35 caveat), and
-    // prefix length uses integer math: ⌈0.8s⌉ = (4s+4) DIV 5. This is the
-    // exact-join complement of q50's MinHash approximation: same shuffle-
-    // bounded shape (explode prefixes → keyed join → verify candidates),
-    // zero false negatives. ----
+    // no pair was pruned. Shingles, not tokens, deliberately: prefix
+    // filtering needs an element universe that GROWS with the corpus
+    // (measured here: 27k shingles / 5k sets at sf0.1 → 122k candidates vs
+    // 12.5M quadratic, a 100× prune; raw tokens saturate at the 31-word
+    // fixture vocabulary and would generate MORE than quadratic). Rarity
+    // order needs no global rank — each set sorts its own shingles by the
+    // (df, shingle) struct, so there is no corpus-wide window anywhere.
+    // A size filter (J ≥ t ⇒ t ≤ |A|/|B| ≤ 1/t, integer-exact 4/5 form)
+    // prunes candidates before verification. ⌈0.8s⌉ = (4s+4) DIV 5. This
+    // is the exact-join complement of q50's MinHash approximation: same
+    // shuffle-bounded shape, zero false negatives. ----
     QueryDef(
       "q122_prefix_jaccard_join",
       (s, dir) => {
         val sets = Tables.read(s, dir, "documents")
-          .select(sort_array(array_distinct(split(col("text"), " ")))
-            .as("toks"), col("doc_id"))
-          .groupBy("toks").agg(min(col("doc_id")).as("sid"))
-          .withColumn("sz", size(col("toks")).cast("long"))
-        val ord = sets.select(explode(col("toks")).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("n_sets"))
-          .withColumn("ord",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy("n_sets", "tok")))
-          .select("tok", "ord")
-        val ordered = sets.select(col("sid"), explode(col("toks")).as("tok"))
-          .join(broadcast(ord), "tok")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), expr(
+            """sort_array(array_distinct(transform(sequence(1, size(toks) - 2),
+               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                              element_at(toks, i + 2)))))""").as("shs"))
+          .groupBy("shs").agg(min(col("doc_id")).as("sid"))
+          .withColumn("sz", size(col("shs")).cast("long"))
+        val df = sets.select(explode(col("shs")).as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("n_sets"))
+        // No broadcast hint: the shingle-df table grows with the corpus —
+        // the planner must stay free to shuffle-join at scale.
+        val ordered = sets.select(col("sid"), explode(col("shs")).as("sh"))
+          .join(df, "sh")
           .groupBy("sid")
-          .agg(expr("transform(sort_array(collect_list(struct(ord, tok))), x -> x.tok)")
-            .as("otoks"))
+          .agg(expr("transform(sort_array(collect_list(struct(n_sets, sh))), x -> x.sh)")
+            .as("oshs"))
         val prefixes = ordered.join(sets.select("sid", "sz"), "sid")
           .withColumn("p", col("sz") - expr("(4 * sz + 4) DIV 5") + 1L)
-          .select(col("sid"),
-            explode(expr("slice(otoks, 1, CAST(p AS INT))")).as("tok"))
+          .select(col("sid"), col("sz"),
+            explode(expr("slice(oshs, 1, CAST(p AS INT))")).as("sh"))
         val cands = prefixes.as("a")
-          .join(prefixes.as("b"), col("a.tok") === col("b.tok") &&
-            col("a.sid") < col("b.sid"))
+          .join(prefixes.as("b"), col("a.sh") === col("b.sh") &&
+            col("a.sid") < col("b.sid") &&
+            col("a.sz") * 5L >= col("b.sz") * 4L &&
+            col("b.sz") * 5L >= col("a.sz") * 4L)
           .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"))
           .distinct()
-        val side = sets.select(col("sid"), col("toks"), col("sz"))
+        val side = sets.select(col("sid"), col("shs"), col("sz"))
         cands
-          .join(side.select(col("sid").as("sid_a"), col("toks").as("ta"),
+          .join(side.select(col("sid").as("sid_a"), col("shs").as("ta"),
             col("sz").as("n_a")), "sid_a")
-          .join(side.select(col("sid").as("sid_b"), col("toks").as("tb"),
+          .join(side.select(col("sid").as("sid_b"), col("shs").as("tb"),
             col("sz").as("n_b")), "sid_b")
           .withColumn("inter",
             size(array_intersect(col("ta"), col("tb"))).cast("long"))
@@ -150,24 +158,33 @@ object SketchJoinQueries {
           .orderBy("sid_a", "sid_b")
       },
       Some("""
-        WITH t AS (
-          SELECT list_sort(list_distinct(string_split(text, ' '))) AS toks,
-                 doc_id
-          FROM documents
+        WITH tok AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS s
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM tok WHERE len(toks) >= 3)
+        ),
+        docsets AS (
+          SELECT doc_id, list_sort(list(DISTINCT s)) AS shs
+          FROM sh GROUP BY doc_id
         ),
         sets AS (
-          SELECT toks, MIN(doc_id) AS sid, CAST(len(toks) AS BIGINT) AS sz
-          FROM t GROUP BY toks
+          SELECT shs, MIN(doc_id) AS sid, CAST(len(shs) AS BIGINT) AS sz
+          FROM docsets GROUP BY shs
         )
         SELECT a.sid AS sid_a, b.sid AS sid_b,
                a.sz AS n_a, b.sz AS n_b,
-               CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
-               CAST(CAST(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                 / (a.sz + b.sz - len(list_intersect(a.toks, b.toks)))
+               CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+               CAST(CAST(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                 / (a.sz + b.sz - len(list_intersect(a.shs, b.shs)))
                  AS DECIMAL(9,6)) AS DOUBLE) AS jac
         FROM sets a JOIN sets b ON a.sid < b.sid
-        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-              / (a.sz + b.sz - len(list_intersect(a.toks, b.toks))) > 0.8
+        WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+              / (a.sz + b.sz - len(list_intersect(a.shs, b.shs))) > 0.8
         ORDER BY sid_a, sid_b
       """.stripMargin.trim))
   )

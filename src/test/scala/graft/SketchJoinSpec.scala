@@ -58,7 +58,12 @@ class SketchJoinSpec extends AnyFunSuite {
     // Pruning is real: the prefix equi-join must generate strictly fewer
     // candidate pairs than the quadratic set x set space it replaces.
     val sets = Tables.read(spark, TestSpark.sf0001, "documents")
-      .select(sort_array(array_distinct(split(col("text"), " "))).as("toks"))
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(expr(
+        """sort_array(array_distinct(transform(sequence(1, size(toks) - 2),
+           i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                          element_at(toks, i + 2)))))""").as("shs"))
       .distinct().count()
     val allPairs = sets * (sets - 1) / 2
     assert(rows.length < allPairs,
