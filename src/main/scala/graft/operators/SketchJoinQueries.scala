@@ -186,6 +186,73 @@ object SketchJoinQueries {
         WHERE CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
               / (a.sz + b.sz - len(list_intersect(a.shs, b.shs))) > 0.8
         ORDER BY sid_a, sid_b
+      """.stripMargin.trim)),
+
+    // ---- Join-key skew audit — the diagnostic that decides when the
+    // salting toolkit (functions/Salting) is worth its cost: per candidate
+    // join key of lineitem, the row mass of the heaviest keys and how far
+    // the distribution deviates from uniform. skew = max_rows * n_keys /
+    // total_rows (1.0 = perfectly even) rounds through the Q.out contract;
+    // heavy-hitter rows are the exact top 5 keys per column by (rows desc,
+    // key) — all plain keyed aggregations over a melted (col, key) frame,
+    // one scan of the fact table. ----
+    QueryDef(
+      "q123_skew_audit",
+      (s, dir) => {
+        graft.plans.VectorFunctions.register(s)
+        val melted = Tables.read(s, dir, "lineitem").select(
+          explode(array(
+            struct(lit("l_orderkey").as("c"), col("l_orderkey").as("k")),
+            struct(lit("l_partkey").as("c"), col("l_partkey").as("k")),
+            struct(lit("l_suppkey").as("c"), col("l_suppkey").as("k")))))
+          .select(col("col.c").as("c"), col("col.k").as("k"))
+        val perKey = melted.groupBy("c", "k").agg(count(lit(1)).as("krows"))
+        val stats = perKey.groupBy("c")
+          .agg(count(lit(1)).as("n_keys"), sum(col("krows")).as("total"),
+            max(col("krows")).as("max_rows"))
+        val top = perKey
+          .groupBy("c")
+          .agg(expr("graft_topk(CAST(krows AS DOUBLE), k, 5)").as("t"))
+          .select(col("c"), posexplode(col("t")).as(Seq("pos", "e")))
+          .select(col("c"), (col("pos") + 1).cast("long").as("rank"),
+            col("e.id").as("key"), col("e.score").cast("long").as("key_rows"))
+        top.join(broadcast(stats), "c")
+          .select(col("c"), col("rank"), col("key"), col("key_rows"),
+            col("n_keys"), col("total"),
+            Q.out6(col("max_rows").cast("double") * col("n_keys") /
+              col("total")).as("skew"))
+          .orderBy("c", "rank")
+      },
+      Some("""
+        WITH melted AS (
+          SELECT u.c, u.k FROM lineitem,
+          LATERAL (VALUES
+            ('l_orderkey', l_orderkey),
+            ('l_partkey', l_partkey),
+            ('l_suppkey', l_suppkey)) AS u(c, k)
+        ),
+        perkey AS (
+          SELECT c, k, COUNT(*) AS krows FROM melted GROUP BY c, k
+        ),
+        stats AS (
+          SELECT c, COUNT(*) AS n_keys, CAST(SUM(krows) AS BIGINT) AS total,
+                 CAST(MAX(krows) AS BIGINT) AS max_rows
+          FROM perkey GROUP BY c
+        ),
+        top AS (
+          SELECT c, k, krows,
+                 ROW_NUMBER() OVER (PARTITION BY c
+                   ORDER BY krows DESC, k) AS rank
+          FROM perkey
+        )
+        SELECT t.c, CAST(t.rank AS BIGINT) AS rank, t.k AS key,
+               CAST(t.krows AS BIGINT) AS key_rows,
+               s.n_keys, s.total,
+               CAST(CAST(CAST(s.max_rows AS DOUBLE) * s.n_keys / s.total
+                 AS DECIMAL(38,6)) AS DOUBLE) AS skew
+        FROM top t JOIN stats s USING (c)
+        WHERE t.rank <= 5
+        ORDER BY c, rank
       """.stripMargin.trim))
   )
 }

@@ -70,6 +70,31 @@ class SketchJoinSpec extends AnyFunSuite {
       s"expected fewer matches than the $allPairs-pair quadratic space")
   }
 
+  test("q123: skew audit reports consistent per-column mass and ordered hitters") {
+    val rows = Registry.queries("q123_skew_audit")(spark, TestSpark.sf0001)
+      .collect()
+    val nLine = Tables.read(spark, TestSpark.sf0001, "lineitem").count()
+    val byCol = rows.groupBy(_.getString(0))
+    assert(byCol.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    byCol.foreach { case (c, rs) =>
+      assert(rs.length == 5, s"$c: top-5 hitters")
+      assert(rs.forall(_.getLong(5) == nLine), s"$c: total mass = fact rows")
+      assert(rs.forall(_.getDouble(6) >= 1.0), s"$c: skew factor >= 1")
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) > b.getLong(3) ||
+            (a.getLong(3) == b.getLong(3) && a.getLong(2) < b.getLong(2)),
+            s"$c: hitters ordered by (rows desc, key)")
+        case _ =>
+      }
+      // rank-1 hitter carries exactly max_rows: skew * total / n_keys.
+      val r1 = sorted.head
+      assert(math.abs(r1.getDouble(6) * r1.getLong(5) / r1.getLong(4) -
+        r1.getLong(3)) < 1.0, s"$c: skew identity vs top hitter")
+    }
+  }
+
   test("q121: CDC apply keeps exactly the non-tombstoned keys with last-writer state") {
     val rows = Registry.queries("q121_cdc_apply")(spark, TestSpark.sf0001)
       .collect()
