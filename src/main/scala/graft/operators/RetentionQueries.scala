@@ -338,6 +338,64 @@ object RetentionQueries {
                  AS DECIMAL(38,6)) AS DOUBLE) AS intercept
         FROM m
         ORDER BY event_type
+      """.stripMargin.trim)),
+
+    // ---- q124: time-weighted average value per user — the TWAP/sensor
+    // integral: each event's value holds until the next event, so the mean
+    // weighs values by their holding time (a plain AVG over-counts bursts).
+    // Σ(value_i · Δt_i) accumulates as exact DECIMAL products of integer
+    // cents × integer µs gaps (the q117 lesson: a BIGINT product would wrap
+    // at cents·µs magnitudes long before 100 TB); the last event of a user
+    // has no successor and contributes no interval. Per-user LEAD windows
+    // are bounded by user activity, never corpus-global; users with a
+    // single event have no intervals and are excluded on both sides. ----
+    QueryDef(
+      "q124_time_weighted_avg",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        Tables.events(s, dir)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("dt", col("next_us") - col("us"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dt")).as("span_us"),
+            sum(col("cents").cast("decimal(19,0)") *
+              col("dt").cast("decimal(19,0)")).as("wsum"))
+          // A user whose intervals are all zero-length would divide 0/0
+          // (NULL in Spark, NaN in DuckDB) — exclude on both sides.
+          .filter(col("span_us") > 0)
+          .select(col("user_id"), col("n_intervals"), col("span_us"),
+            Q.out6(col("wsum").cast("double") / col("span_us").cast("double"))
+              .as("twap_cents"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        iv AS (
+          SELECT user_id, cents,
+                 LEAD(us, 1) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) - us AS dt
+          FROM e
+        )
+        SELECT user_id,
+               COUNT(*) AS n_intervals,
+               CAST(SUM(dt) AS BIGINT) AS span_us,
+               CAST(CAST(CAST(SUM(CAST(cents AS DECIMAL(19,0))
+                     * CAST(dt AS DECIMAL(19,0))) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS twap_cents
+        FROM iv
+        WHERE dt IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(dt) > 0
+        ORDER BY user_id
       """.stripMargin.trim))
   )
 }

@@ -125,6 +125,30 @@ class RetentionSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum <= expected)
   }
 
+  test("q124: TWAP lies within each user's value range and spans first-to-last") {
+    val rows = run("q124_time_weighted_avg").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("us").as("first_us"),
+        max("us").as("last_us"), min("cents").as("min_c"),
+        max("cents").as("max_c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val u = ev(r.getLong(0))
+      assert(r.getLong(1) == u.getLong(1) - 1, s"intervals = events - 1: $r")
+      assert(r.getLong(2) == u.getLong(3) - u.getLong(2),
+        s"span = last - first: $r")
+      // A convex combination of held values cannot leave their range
+      // (half-ulp slack for the DECIMAL(38,6) output rounding).
+      assert(r.getDouble(3) >= u.getLong(4) - 5e-7 &&
+        r.getDouble(3) <= u.getLong(5) + 5e-7,
+        s"TWAP outside the user's value range: $r vs $u")
+    }
+  }
+
   test("q117: slope/intercept match an independent exact re-derivation") {
     val out = run("q117_daily_trend").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
