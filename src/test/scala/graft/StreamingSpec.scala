@@ -203,6 +203,48 @@ class StreamingSpec extends AnyFunSuite {
       "stream replay must equal batch recompute (lambda unification)")
   }
 
+  test("top-k leaderboard state survives a checkpoint restart") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = checkpoint()
+    val board = scala.collection.mutable.Map[Long, Seq[(Long, Long, Double)]]()
+    def start(in: MemoryStream[KIS]) =
+      StreamingOps.topKStream(spark, in.toDF(), k = 2)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingOps.TopEntry], _: Long) =>
+          ds.collect().groupBy(_.key).foreach { case (k, rows) =>
+            board(k) = rows.sortBy(_.rank).map(r => (r.rank, r.id, r.score)).toSeq
+          }
+        }
+        .start()
+    // Run 1: establish state, then STOP the query.
+    val in1 = MemoryStream[KIS]
+    val q1 = start(in1)
+    try {
+      in1.addData(KIS(1, 1, 5.0), KIS(1, 2, 7.0))
+      q1.processAllAvailable()
+      assert(board(1L) == Seq((1L, 2L, 7.0), (2L, 1L, 5.0)))
+    } finally q1.stop()
+    // Run 2: a NEW query instance over the SAME checkpoint must recover the
+    // k-bounded RocksDB state — the new score evicts run 1's rank-2 entry,
+    // which only works if run 1's buffer was durably restored. The first
+    // addData replays run 1's batch purely to re-align MemoryStream offsets
+    // with the checkpoint (the committed offset range is skipped, not
+    // reprocessed — double-processing would corrupt nothing here, but the
+    // restart semantics under test are skip-committed).
+    val in2 = MemoryStream[KIS]
+    in2.addData(KIS(1, 1, 5.0), KIS(1, 2, 7.0))
+    val q2 = start(in2)
+    try {
+      in2.addData(KIS(1, 3, 6.0))
+      q2.processAllAvailable()
+      assert(board(1L) == Seq((1L, 2L, 7.0), (2L, 3L, 6.0)),
+        s"restarted state must merge with new data: ${board(1L)}")
+    } finally q2.stop()
+  }
+
   test("first-sightings replay of the real event log equals batch q115 new_users") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
