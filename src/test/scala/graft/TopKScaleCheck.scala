@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * the same result on sf0.1 orders and on ScaleCheck's 10× replica (run
   * `sbt "Test/runMain graft.ScaleCheck"` first to build /tmp/graft_sf1).
   *
-  * The window plan shuffles ALL rows and sorts every group; the aggregate
-  * shuffles ≤ k rows per group per map partition and never sorts the full
-  * input — the gap should WIDEN with scale.
+  * Spark ≥3.5 already bounds the window plan's shuffle via a Partial
+  * WindowGroupLimit, but that operator needs sorted input — each map
+  * partition fully sorts ALL its rows first (and the reduce side sorts
+  * again). The aggregate needs no sort anywhere (k-bounded heaps), which
+  * is exactly the gap this runner measures; it should WIDEN with scale.
   * Run: `sbt "Test/runMain graft.TopKScaleCheck"`.
   */
 object TopKScaleCheck {
