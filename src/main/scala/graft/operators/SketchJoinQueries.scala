@@ -121,6 +121,13 @@ object SketchJoinQueries {
                               element_at(toks, i + 2)))))""").as("shs"))
           .groupBy("shs").agg(min(col("doc_id")).as("sid"))
           .withColumn("sz", size(col("shs")).cast("long"))
+          // Materialize ONCE: five consumers below (df, ordered, the
+          // prefix self-join's two sides, and both verify sides) would
+          // otherwise each replay tokenize → shingle → two aggregations —
+          // the exact recompute shape q78's maskPairs fix established
+          // (BASELINE.md round-2 notes). The checkpoint is #distinct-sets
+          // rows, corpus-collapsed by construction.
+          .localCheckpoint()
         val df = sets.select(explode(col("shs")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("n_sets"))
         // No broadcast hint: the shingle-df table grows with the corpus —

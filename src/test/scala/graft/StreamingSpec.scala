@@ -23,6 +23,26 @@ class StreamingSpec extends AnyFunSuite {
   private def checkpoint(): String =
     Files.createTempDirectory("graft-ckpt").toString
 
+  /** transformWithState needs a multi-column-family store → RocksDB. */
+  private def useRocksDB(): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Update-mode leaderboard capture for topKStream tests: a key's LATEST
+    * emission is its current board (exactly what the upsert serving sink
+    * would materialize). */
+  private def startLeaderboard(in: MemoryStream[KIS], ckpt: String,
+      board: scala.collection.mutable.Map[Long, Seq[(Long, Long, Double)]]) =
+    StreamingOps.topKStream(spark, in.toDF(), k = 2)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingOps.TopEntry], _: Long) =>
+        ds.collect().groupBy(_.key).foreach { case (k, rows) =>
+          board(k) = rows.sortBy(_.rank).map(r => (r.rank, r.id, r.score)).toSeq
+        }
+      }
+      .start()
+
   test("J1/J4: tumbling window aggregates and drops late data past watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
@@ -120,9 +140,7 @@ class StreamingSpec extends AnyFunSuite {
   test("J6 (Spark 4): transformWithState accumulates per-user state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
-    // transformWithState needs a multi-column-family store → RocksDB.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDB()
     val q = StreamingOps.statefulUserCountsTws(spark, in.toDF())
       .writeStream.format("memory").queryName("tws")
       .option("checkpointLocation", checkpoint())
@@ -205,23 +223,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("top-k leaderboard state survives a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDB()
     val ckpt = checkpoint()
-    val board = scala.collection.mutable.Map[Long, Seq[(Long, Long, Double)]]()
-    def start(in: MemoryStream[KIS]) =
-      StreamingOps.topKStream(spark, in.toDF(), k = 2)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingOps.TopEntry], _: Long) =>
-          ds.collect().groupBy(_.key).foreach { case (k, rows) =>
-            board(k) = rows.sortBy(_.rank).map(r => (r.rank, r.id, r.score)).toSeq
-          }
-        }
-        .start()
+    val board = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Double)]]
     // Run 1: establish state, then STOP the query.
     val in1 = MemoryStream[KIS]
-    val q1 = start(in1)
+    val q1 = startLeaderboard(in1, ckpt, board)
     try {
       in1.addData(KIS(1, 1, 5.0), KIS(1, 2, 7.0))
       q1.processAllAvailable()
@@ -236,7 +243,7 @@ class StreamingSpec extends AnyFunSuite {
     // restart semantics under test are skip-committed).
     val in2 = MemoryStream[KIS]
     in2.addData(KIS(1, 1, 5.0), KIS(1, 2, 7.0))
-    val q2 = start(in2)
+    val q2 = startLeaderboard(in2, ckpt, board)
     try {
       in2.addData(KIS(1, 3, 6.0))
       q2.processAllAvailable()
@@ -246,14 +253,14 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("first-sightings replay of the real event log equals batch q115 new_users") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDB()
     val q = StreamingOps.firstSightingsStream(spark,
         StreamingOps.fileReplay(spark, TestSpark.sf0001))
       .writeStream.format("memory").queryName("sightings_replay")
       .option("checkpointLocation", checkpoint())
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination(120000) finally q.stop()
+    try assert(q.awaitTermination(120000), "replay timed out")
+    finally q.stop()
     // AvailableNow replay sees the whole log (no cross-batch late data), so
     // the arrival-order caveat vanishes and parity with batch q115 is
     // exact: per-day first-sighting counts == the declared new_users curve.
@@ -330,8 +337,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming quota admission: per-language budget persists across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[LDoc]
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDB()
     val q = StreamingOps.quotaAdmissionStream(spark, in.toDF(), quota = 2)
       .writeStream.format("memory").queryName("quota")
       .option("checkpointLocation", checkpoint())
@@ -358,21 +364,9 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming top-k leaderboard converges to the batch aggregate's view") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KIS]
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // foreachBatch captures each micro-batch's emissions; a key's LATEST
-    // emission is its current leaderboard (Update-mode semantics — exactly
-    // what the upsert serving sink would materialize).
+    useRocksDB()
     val board = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Double)]]
-    val q = StreamingOps.topKStream(spark, in.toDF(), k = 2)
-      .writeStream.outputMode("update")
-      .option("checkpointLocation", checkpoint())
-      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingOps.TopEntry], _: Long) =>
-        ds.collect().groupBy(_.key).foreach { case (k, rows) =>
-          board(k) = rows.sortBy(_.rank).map(r => (r.rank, r.id, r.score)).toSeq
-        }
-      }
-      .start()
+    val q = startLeaderboard(in, checkpoint(), board)
     try {
       in.addData(KIS(1, 1, 5.0), KIS(1, 2, 7.0), KIS(1, 3, 6.0), KIS(2, 5, 1.0))
       q.processAllAvailable()
@@ -409,9 +403,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming first-sightings match the batch per-user MIN(day) (q115 twin)") {
     implicit val sqlCtx = spark.sqlContext
-    // transformWithState needs a multi-column-family store → RocksDB.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    useRocksDB()
     val in = MemoryStream[Ev]
     val q = StreamingOps.firstSightingsStream(spark, in.toDF())
       .writeStream.format("memory").queryName("sightings")
