@@ -396,6 +396,81 @@ object RetentionQueries {
         GROUP BY user_id
         HAVING SUM(dt) > 0
         ORDER BY user_id
+      """.stripMargin.trim)),
+
+    // ---- q125: equi-DEPTH quintiles of order values — exact global
+    // quantiles WITHOUT a global sort, the composition a distributed
+    // engine uses for exact selection: (1) q113's integer equi-width bins
+    // pre-partition the value domain; (2) ranks are per-bin windows
+    // (parallel — each bin holds ~1/64 of the data); (3) a bounded
+    // exclusive scan over the 64-row bin-count table lifts them to exact
+    // GLOBAL ranks; (4) the 4 nearest-rank boundary values (rank =
+    // ⌈i·n/5⌉, integer form (i·n+4) DIV 5) broadcast back and orders
+    // assign by VALUE (ties on a boundary land in one quintile — counts
+    // then deviate from n/5 exactly as value-based equi-depth must).
+    // The oracle reaches the same boundaries with one ROW_NUMBER sort —
+    // affordable in DuckDB at sf0.01, the thing step (1)–(3) exists to
+    // avoid at 100 TB. ----
+    QueryDef(
+      "q125_equi_depth_quintiles",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val bounds = o.agg(min(col("cents")).as("minc"),
+          max(col("cents")).as("maxc"), count(lit(1)).as("n"))
+        val binned = o.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            expr("((cents - minc) * 64) DIV (maxc - minc + 1)"))
+        val wBin = Window.partitionBy("bin").orderBy("cents", "k")
+        val wScan = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = binned.groupBy("bin").agg(count(lit(1)).as("bn"))
+          .withColumn("before", coalesce(sum(col("bn")).over(wScan), lit(0L)))
+          .select("bin", "before")
+        val ranked = binned
+          .withColumn("local_rk", row_number().over(wBin))
+          .join(broadcast(offsets), "bin")
+          .withColumn("grank", col("before") + col("local_rk"))
+        val boundaries = ranked
+          .filter(expr(
+            "grank IN ((1*n+4) DIV 5, (2*n+4) DIV 5, (3*n+4) DIV 5, (4*n+4) DIV 5)"))
+          .groupBy()
+          .agg(sort_array(collect_list(col("cents"))).as("bs"))
+        o.crossJoin(broadcast(boundaries))
+          .withColumn("quintile",
+            lit(1L) + expr("size(filter(bs, b -> b < cents))"))
+          .groupBy("quintile")
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"))
+          .orderBy("quintile")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ),
+        ranked AS (
+          SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, k) AS grank,
+                 COUNT(*) OVER () AS n
+          FROM o
+        ),
+        bs AS (
+          SELECT list_sort(list(cents)) AS bs
+          FROM ranked
+          WHERE grank IN ((1*n+4)//5, (2*n+4)//5, (3*n+4)//5, (4*n+4)//5)
+        )
+        SELECT CAST(1 + len(list_filter(bs, b -> b < cents)) AS BIGINT)
+                 AS quintile,
+               COUNT(*) AS n_orders,
+               MIN(cents) AS lo_cents,
+               MAX(cents) AS hi_cents
+        FROM o CROSS JOIN bs
+        GROUP BY quintile
+        ORDER BY quintile
       """.stripMargin.trim))
   )
 }

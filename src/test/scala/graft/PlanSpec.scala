@@ -161,7 +161,8 @@ class PlanSpec extends AnyFunSuite {
       "q102_source_overlap",   // #sources x #sources counts-only pair frame
       "q107_length_buckets",   // broadcast of the single-row corpus max length
       "q112_part_value_share", // broadcast of the single-row revenue total
-      "q113_value_histogram")  // broadcast of the single-row min/max bounds
+      "q113_value_histogram",  // broadcast of the single-row min/max bounds
+      "q125_equi_depth_quintiles") // single-row bounds + 4-value boundary broadcast
     Registry.all.foreach { q =>
       val p = q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       val cartesian = p.contains("CartesianProduct") ||

@@ -149,6 +149,35 @@ class RetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("q125: quintiles partition the orders with near-equal depth, no global sort") {
+    val df = run("q125_equi_depth_quintiles")
+    val p = df.queryExecution.executedPlan.toString
+    // The rank window must partition by the pre-bucket bin — the whole
+    // point is that no corpus-sized single-partition sort exists. The only
+    // allowed SinglePartition exchanges: the 64-row bin-count scan and the
+    // 4-row boundary collect.
+    assert(p.contains("hashpartitioning(bin"),
+      s"rank window must partition by bin:\n$p")
+    val rows = df.collect()
+    val n = Tables.read(spark, TestSpark.sf0001, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == n, "row conservation")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length),
+      "contiguous quintile ids")
+    // Value ranges must be disjoint and ordered.
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) <= b.getLong(2),
+          s"quintile ranges must not overlap: $a vs $b")
+      case _ =>
+    }
+    // Depth balance: within ties' tolerance, each quintile holds ~n/5.
+    // The fixture's cents values are near-unique, so allow 5% slack.
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - n / 5.0) <= n * 0.05,
+        s"quintile depth far from n/5: $r")
+    }
+  }
+
   test("q117: slope/intercept match an independent exact re-derivation") {
     val out = run("q117_daily_trend").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
