@@ -328,6 +328,64 @@ object VectorQueries {
         FROM t
         GROUP BY label, pos
         ORDER BY label, pos
+      """.stripMargin.trim)),
+
+    // ---- q126: inter-centroid L2 distances — the label-separation audit
+    // over q100's centroids (close centroids predict classifier confusion
+    // and IVF cell bleed). The per-dimension squared difference is computed
+    // on IDENTICAL doubles in both engines, then rounds through
+    // DECIMAL(28,18) BEFORE the sum (the q95/q100 discipline — a raw
+    // double SUM would expose accumulation order); sqrt of the identical
+    // double is identical. The pair frame is #labels² rows joined per
+    // dimension — bounded by the label vocabulary, not the corpus. ----
+    QueryDef(
+      "q126_centroid_distances",
+      (s, dir) => {
+        val c = Tables.read(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("sd"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            (col("sd").cast("double") / col("n"))
+              .cast("decimal(18,9)").cast("double").as("c"))
+        val a = c.select(col("label").as("label_a"), col("pos"),
+          col("c").as("ca"))
+        val b = c.select(col("label").as("label_b"), col("pos"),
+          col("c").as("cb"))
+        a.join(b, Seq("pos"))
+          .filter(col("label_a") < col("label_b"))
+          .withColumn("d2",
+            ((col("ca") - col("cb")) * (col("ca") - col("cb")))
+              .cast("decimal(28,18)"))
+          .groupBy("label_a", "label_b")
+          .agg(count(lit(1)).as("dims"),
+            sqrt(sum(col("d2")).cast("double"))
+              .cast("decimal(18,9)").cast("double").as("l2_dist"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT label,
+                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                 UNNEST(list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS xd
+          FROM embeddings
+        ),
+        c AS (
+          SELECT label, CAST(pos AS BIGINT) AS pos,
+                 CAST(CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9))
+                   AS DOUBLE) AS c
+          FROM t GROUP BY label, pos
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               COUNT(*) AS dims,
+               CAST(CAST(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                 AS DECIMAL(28,18))) AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+                 AS l2_dist
+        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY label_a, label_b
+        ORDER BY label_a, label_b
       """.stripMargin.trim))
   )
 }

@@ -130,4 +130,25 @@ class PropertySpec extends AnyFunSuite {
         s"($w,$h) -> ($ow,$oh) drifts from scale $s")
     }
   }
+
+  test("q126 centroid distances form a metric over the label set") {
+    val spark = TestSpark.spark
+    val rows = Registry.queries("q126_centroid_distances")(
+      spark, TestSpark.sf0001).collect()
+    val labels = graft.sources.Tables.read(spark, TestSpark.sf0001, "embeddings")
+      .select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2, "one row per label pair")
+    val d = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == 64L, s"all 64 dimensions present: $r")
+      assert(r.getDouble(3) > 0.0, s"distinct-label centroids separated: $r")
+    }
+    // Triangle inequality across every label triple (half-ulp slack for the
+    // per-pair DECIMAL(18,9) output rounding).
+    def dist(a: Int, b: Int): Double = d(if (a < b) (a, b) else (b, a))
+    val ls = d.keys.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct.sorted
+    for (a <- ls; b <- ls if a < b; c <- ls if c != a && c != b)
+      assert(dist(a, b) <= dist(a, c) + dist(c, b) + 2e-9,
+        s"triangle violated on ($a,$b,$c)")
+  }
 }

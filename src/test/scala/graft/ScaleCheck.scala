@@ -75,7 +75,8 @@ object ScaleCheck {
       // by the copytag shingles, so the true-pair OUTPUT grows quadratically
       // in copies (measured 7.6x at 10x) — a property of replicated
       // near-dup data, not of the prefix-join plan.
-      "q121_cdc_apply", "q123_skew_audit", "q124_time_weighted_avg")
+      "q121_cdc_apply", "q123_skew_audit", "q124_time_weighted_avg",
+      "q125_equi_depth_quintiles")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
