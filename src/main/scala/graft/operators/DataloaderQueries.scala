@@ -390,6 +390,68 @@ object DataloaderQueries {
           FROM tf) JOIN df USING (tok)
         WHERE df BETWEEN $DfLo AND $DfHi AND rank <= $PostK
         ORDER BY tok, rank
+      """.stripMargin.trim)),
+
+    // ---- q127: per-source distribution divergence — KL(source ‖ corpus)
+    // over unigram distributions: the drift detector that flags a feed
+    // whose token mix departs from the corpus (new spam template, language
+    // shift, scraper breakage). Each term p_s·ln(p_s/p_c) is computed on
+    // IDENTICAL doubles in both engines then rounds through DECIMAL(28,18)
+    // BEFORE the sum (the q95 discipline — KL sums thousands of tiny
+    // terms, exactly where double accumulation order would diverge).
+    // Tokens absent from a source contribute 0 (the p·ln p convention);
+    // every source token exists in the corpus by construction, so no
+    // division by zero. Two keyed aggregations + a join keyed by token —
+    // linear, and the per-source totals broadcast (#sources rows). ----
+    QueryDef(
+      "q127_source_divergence",
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val bySrc = tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val srcTotals = bySrc.groupBy("source").agg(sum(col("c")).as("st"))
+        val corpus = bySrc.groupBy("tok").agg(sum(col("c")).as("cc"))
+        val corpusTotal = corpus.agg(sum(col("cc")).as("ct"))
+        bySrc.join(corpus, "tok")
+          .join(broadcast(srcTotals), "source")
+          .crossJoin(broadcast(corpusTotal))
+          .withColumn("term", expr(
+            """CAST((CAST(c AS DOUBLE) / st) *
+               ln((CAST(c AS DOUBLE) / st) / (CAST(cc AS DOUBLE) / ct))
+               AS DECIMAL(28,18))"""))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_types"),
+            Q.out6(sum(col("term")).cast("double")).as("kl_nats"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        by_src AS (
+          SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok
+        ),
+        src_tot AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS st
+          FROM by_src GROUP BY source
+        ),
+        corpus AS (
+          SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM by_src GROUP BY tok
+        ),
+        ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS ct FROM corpus)
+        SELECT source,
+               COUNT(*) AS n_types,
+               CAST(CAST(CAST(SUM(CAST((CAST(c AS DOUBLE) / st) *
+                 ln((CAST(c AS DOUBLE) / st) / (CAST(cc AS DOUBLE) / ct))
+                 AS DECIMAL(28,18))) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS kl_nats
+        FROM by_src
+        JOIN corpus USING (tok)
+        JOIN src_tot USING (source)
+        CROSS JOIN ct
+        GROUP BY source
+        ORDER BY source
       """.stripMargin.trim))
   )
 }

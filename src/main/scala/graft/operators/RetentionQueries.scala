@@ -471,6 +471,57 @@ object RetentionQueries {
         FROM o CROSS JOIN bs
         GROUP BY quintile
         ORDER BY quintile
+      """.stripMargin.trim)),
+
+    // ---- q128: consecutive-day activity streaks — per user, the longest
+    // run of back-to-back active days and how many distinct streaks the
+    // history splits into (the engagement metric every product warehouse
+    // computes). Islands trick on DATES: within a user, active days minus
+    // their per-user rank collapse to a constant per streak (datediff from
+    // a fixed epoch makes the subtraction integer-exact). All windows
+    // partition by user_id — bounded by a user's history, never global. ----
+    QueryDef(
+      "q128_activity_streaks",
+      (s, dir) => {
+        val days = eventsDay(s, dir).select("user_id", "day").distinct()
+          .withColumn("dn",
+            datediff(col("day"), to_date(lit("2024-01-01"))).cast("long"))
+        val wU = Window.partitionBy("user_id").orderBy("dn")
+        val streaks = days
+          .withColumn("grp", col("dn") - row_number().over(wU))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+        streaks.groupBy("user_id")
+          .agg(count(lit(1)).as("n_streaks"),
+            max(col("len")).as("longest"),
+            sum(col("len")).as("active_days"),
+            min(col("streak_start")).as("first_day"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH days AS (
+          SELECT DISTINCT user_id, day,
+                 CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS dn
+          FROM ($oracleEventsDay)
+        ),
+        grp AS (
+          SELECT user_id, day,
+                 dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn)
+                   AS grp
+          FROM days
+        ),
+        streaks AS (
+          SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS streak_start
+          FROM grp GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               COUNT(*) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS longest,
+               CAST(SUM(len) AS BIGINT) AS active_days,
+               MIN(streak_start) AS first_day
+        FROM streaks
+        GROUP BY user_id
+        ORDER BY user_id
       """.stripMargin.trim))
   )
 }

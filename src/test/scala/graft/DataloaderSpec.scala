@@ -161,6 +161,22 @@ class DataloaderSpec extends AnyFunSuite {
     assert(byCol("doc_id") == nDocs, "doc_id is unique")
   }
 
+  test("q127: KL divergence is non-negative and types are bounded") {
+    val rows = run("q127_source_divergence").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Gibbs' inequality: KL(p || q) >= 0, with slack for the per-term
+      // DECIMAL(28,18) rounding (n_types terms, half-ulp each) plus the
+      // DECIMAL(38,6) output rounding.
+      assert(r.getDouble(2) >= -(r.getLong(1) * 5e-19 + 5e-7),
+        s"KL must be non-negative: $r")
+      assert(r.getLong(1) >= 1L, s"every source has types: $r")
+    }
+    // A source identical to the corpus mix would have KL 0; the synthetic
+    // sources differ, so at least one must be strictly positive.
+    assert(rows.exists(_.getDouble(2) > 1e-6), "divergence detector is alive")
+  }
+
   test("q110: vocabulary accounting per source") {
     val rows = run("q110_vocab_growth").collect()
     assert(rows.nonEmpty)

@@ -178,6 +178,26 @@ class RetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("q128: streak accounting conserves active days") {
+    val rows = run("q128_activity_streaks").collect()
+    assert(rows.nonEmpty)
+    val totalActive = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct().count()
+    assert(rows.map(_.getLong(3)).sum == totalActive,
+      "sum of active_days = distinct (user, day)")
+    rows.foreach { r =>
+      val (nStreaks, longest, active) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(longest >= 1L && longest <= active, s"longest within range: $r")
+      assert(nStreaks >= 1L && nStreaks <= active, s"streak count range: $r")
+      // n_streaks streaks of >= 1 day each, one of them `longest` long.
+      assert(longest + (nStreaks - 1) <= active,
+        s"streak lengths must fit in active days: $r")
+    }
+  }
+
   test("q117: slope/intercept match an independent exact re-derivation") {
     val out = run("q117_daily_trend").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
