@@ -76,7 +76,8 @@ object ScaleCheck {
       // in copies (measured 7.6x at 10x) — a property of replicated
       // near-dup data, not of the prefix-join plan.
       "q121_cdc_apply", "q123_skew_audit", "q124_time_weighted_avg",
-      "q125_equi_depth_quintiles")
+      "q125_equi_depth_quintiles", "q127_source_divergence",
+      "q128_activity_streaks")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
