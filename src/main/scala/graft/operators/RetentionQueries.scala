@@ -522,6 +522,108 @@ object RetentionQueries {
         FROM streaks
         GROUP BY user_id
         ORDER BY user_id
+      """.stripMargin.trim)),
+
+    // ---- q129: Pareto / ABC classification — parts ranked by revenue,
+    // classified A (first 80% of cumulative revenue), B (to 95%), C (rest).
+    // The running revenue share needs a prefix sum over the GLOBAL value
+    // order; like q125 it decomposes: per-value-bin windows (parallel) +
+    // an exclusive scan over the 64-row bin-sum table — no global sort.
+    // Bins index by value DESC so bin order == rank order. Revenue is
+    // exact integer cents; the cumulative share only divides at the class
+    // boundary test (integer compare: cum*100 vs total*80 — no float). ----
+    QueryDef(
+      "q129_pareto_classes",
+      (s, dir) => {
+        val perPart = t(s, dir, "lineitem")
+          .select(col("l_partkey"), Q.dec2(col("l_extendedprice")).as("p"))
+          .groupBy("l_partkey")
+          .agg((sum(col("p")) * 100).cast("long").as("v"))
+        val bounds = perPart.agg(min(col("v")).as("minv"),
+          max(col("v")).as("maxv"), sum(col("v")).as("total"))
+        val binned = perPart.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            expr("((maxv - v) * 64) DIV (maxv - minv + 1)"))
+        val wBin = Window.partitionBy("bin")
+          .orderBy(col("v").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wScan = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = binned.groupBy("bin").agg(sum(col("v")).as("bv"))
+          .withColumn("before", coalesce(sum(col("bv")).over(wScan), lit(0L)))
+          .select("bin", "before")
+        binned
+          .withColumn("local_cum", sum(col("v")).over(wBin))
+          .join(broadcast(offsets), "bin")
+          .withColumn("cum", col("before") + col("local_cum"))
+          .withColumn("cls",
+            when(col("cum") * 100L <= col("total") * 80L, "A")
+              .when(col("cum") * 100L <= col("total") * 95L, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("v")).as("revenue_cents"),
+            Q.out6(sum(col("v")).cast("double") / max(col("total")))
+              .as("revenue_share"))
+          .orderBy("cls")
+      },
+      Some("""
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                   AS BIGINT) AS v
+          FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+          SELECT v,
+                 CAST(SUM(v) OVER (ORDER BY v DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(v) OVER () AS BIGINT) AS total
+          FROM per_part
+        )
+        SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS cls,
+               COUNT(*) AS n_parts,
+               CAST(SUM(v) AS BIGINT) AS revenue_cents,
+               CAST(CAST(CAST(SUM(v) AS DOUBLE) / MAX(total)
+                 AS DECIMAL(38,6)) AS DOUBLE) AS revenue_share
+        FROM ranked
+        GROUP BY cls
+        ORDER BY cls
+      """.stripMargin.trim)),
+
+    // ---- q130: market-basket part pairs — parts bought together within an
+    // order, the co-occurrence mine behind "frequently bought together".
+    // The self-join is keyed by l_orderkey, so the quadratic blowup is
+    // bounded by ORDER size (≤ 7 lines in TPC-H-shaped data), never by the
+    // corpus; pair counts then roll up in one keyed aggregation. Top 20 by
+    // support with (pair) tiebreak. ----
+    QueryDef(
+      "q130_basket_pairs",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+        a.join(b, Seq("l_orderkey"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb")
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY pa, pb
+        ORDER BY support DESC, pa, pb
+        LIMIT 20
       """.stripMargin.trim))
   )
 }

@@ -163,7 +163,8 @@ class PlanSpec extends AnyFunSuite {
       "q112_part_value_share", // broadcast of the single-row revenue total
       "q113_value_histogram",  // broadcast of the single-row min/max bounds
       "q125_equi_depth_quintiles", // single-row bounds + 4-value boundary broadcast
-      "q127_source_divergence")    // broadcast of the single-row corpus token total
+      "q127_source_divergence",    // broadcast of the single-row corpus token total
+      "q129_pareto_classes")       // broadcast of the single-row min/max/total bounds
     Registry.all.foreach { q =>
       val p = q.fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       val cartesian = p.contains("CartesianProduct") ||

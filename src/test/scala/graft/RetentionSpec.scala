@@ -198,6 +198,57 @@ class RetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("q129: ABC classes partition revenue at the declared boundaries") {
+    val df = run("q129_pareto_classes")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bin"),
+      s"running share must use per-bin windows, not a global sort:\n$p")
+    val rows = df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("A", "B", "C"))
+    val nParts = Tables.read(spark, TestSpark.sf0001, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.values.map(_._1).sum == nParts, "part conservation")
+    val shares = rows.view.mapValues(_._3)
+    // A ends at <= 80% cumulative, A+B at <= 95%; each class is the span
+    // between boundaries, so A's share can reach 80 but not exceed it, and
+    // the three shares sum to 1 (rounding slack).
+    assert(shares("A") <= 0.80 + 5e-7 && shares("A") + shares("B") <= 0.95 + 1e-6)
+    assert(math.abs(shares.values.sum - 1.0) < 2e-6, "shares sum to 1")
+    // A holds the HIGHEST-value parts, so its average value is >= the
+    // overall average: its part-count fraction cannot exceed its revenue
+    // share (holds for any value distribution — the synthetic fixture is
+    // near-uniform, so no stronger "few parts" Pareto claim is sound).
+    assert(rows("A")._1.toDouble / nParts <= shares("A") + 1e-6,
+      "class A part fraction must not exceed its revenue share")
+  }
+
+  test("q130: basket pairs are canonical, ordered, and support-consistent") {
+    val rows = run("q130_basket_pairs").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"canonical pair order: $r")
+      assert(r.getLong(2) >= 1L)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) &&
+            (a.getLong(0) < b.getLong(0) ||
+              (a.getLong(0) == b.getLong(0) && a.getLong(1) < b.getLong(1)))),
+          "ordered by (support desc, pa, pb)")
+      case _ =>
+    }
+    // Cross-check the top pair's support by brute force.
+    val (pa, pb, support) =
+      (rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2))
+    val li = Tables.read(spark, TestSpark.sf0001, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val expected = li.filter(col("l_partkey") === pa)
+      .join(li.filter(col("l_partkey") === pb), "l_orderkey").count()
+    assert(support == expected, s"top pair support mismatch: $support vs $expected")
+  }
+
   test("q117: slope/intercept match an independent exact re-derivation") {
     val out = run("q117_daily_trend").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
