@@ -530,8 +530,10 @@ object RetentionQueries {
     // order; like q125 it decomposes: per-value-bin windows (parallel) +
     // an exclusive scan over the 64-row bin-sum table — no global sort.
     // Bins index by value DESC so bin order == rank order. Revenue is
-    // exact integer cents; the cumulative share only divides at the class
-    // boundary test (integer compare: cum*100 vs total*80 — no float). ----
+    // exact integer cents; the class boundary test compares through
+    // DECIMAL(38,0) (cum·100 vs total·80): a BIGINT multiply would wrap
+    // once corpus revenue exceeds ~9.2e16 cents (~4 TB of TPC-H), far
+    // below the 100 TB design point — no float anywhere either way. ----
     QueryDef(
       "q129_pareto_classes",
       (s, dir) => {
@@ -541,9 +543,13 @@ object RetentionQueries {
           .agg((sum(col("p")) * 100).cast("long").as("v"))
         val bounds = perPart.agg(min(col("v")).as("minv"),
           max(col("v")).as("maxv"), sum(col("v")).as("total"))
+        // Materialize once: both the running-sum chain and the bin-offset
+        // table consume this frame — without the checkpoint the plan scans
+        // lineitem and recomputes the per-part aggregate twice per consumer.
         val binned = perPart.crossJoin(broadcast(bounds))
           .withColumn("bin",
             expr("((maxv - v) * 64) DIV (maxv - minv + 1)"))
+          .localCheckpoint()
         val wBin = Window.partitionBy("bin")
           .orderBy(col("v").desc, col("l_partkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -556,9 +562,11 @@ object RetentionQueries {
           .withColumn("local_cum", sum(col("v")).over(wBin))
           .join(broadcast(offsets), "bin")
           .withColumn("cum", col("before") + col("local_cum"))
+          .withColumn("cum_d", col("cum").cast("decimal(38,0)"))
+          .withColumn("tot_d", col("total").cast("decimal(38,0)"))
           .withColumn("cls",
-            when(col("cum") * 100L <= col("total") * 80L, "A")
-              .when(col("cum") * 100L <= col("total") * 95L, "B")
+            when(col("cum_d") * 100 <= col("tot_d") * 80, "A")
+              .when(col("cum_d") * 100 <= col("tot_d") * 95, "B")
               .otherwise("C"))
           .groupBy("cls")
           .agg(count(lit(1)).as("n_parts"),
@@ -582,8 +590,10 @@ object RetentionQueries {
                  CAST(SUM(v) OVER () AS BIGINT) AS total
           FROM per_part
         )
-        SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
-                    WHEN cum * 100 <= total * 95 THEN 'B'
+        SELECT CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100
+                         <= CAST(total AS DECIMAL(38,0)) * 80 THEN 'A'
+                    WHEN CAST(cum AS DECIMAL(38,0)) * 100
+                         <= CAST(total AS DECIMAL(38,0)) * 95 THEN 'B'
                     ELSE 'C' END AS cls,
                COUNT(*) AS n_parts,
                CAST(SUM(v) AS BIGINT) AS revenue_cents,
