@@ -634,6 +634,121 @@ object RetentionQueries {
         GROUP BY pa, pb
         ORDER BY support DESC, pa, pb
         LIMIT 20
+      """.stripMargin.trim)),
+
+    // ---- q131: fulfillment lead-time percentiles by priority — exact
+    // nearest-rank p50/p90 of (ship date − order date) per order priority.
+    // The percentile needs no per-group sort of line items: lead time in
+    // DAYS has a bounded domain (the calendar span), so the cumulative
+    // count runs over the ≤ #days-row (priority, lead_days) table — the
+    // bounded-domain twin of q125's binned-rank trick. Integer thresholds:
+    // nearest-rank k = ⌈q·n⌉ = (q·n + 99) DIV 100 for q in percent. ----
+    QueryDef(
+      "q131_leadtime_percentiles",
+      (s, dir) => {
+        val lead = t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+              .as("lead_days"))
+        val byDay = lead.groupBy("priority", "lead_days")
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("priority").orderBy("lead_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("priority")
+        val cum = byDay
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+        def pct(p: Int) = min(when(
+          col("cum") >= expr(s"($p * n + 99) DIV 100"), col("lead_days")))
+        cum.groupBy("priority")
+          .agg(max(col("n")).as("n_items"),
+            min(col("lead_days")).as("min_days"),
+            pct(50).as("p50_days"),
+            pct(90).as("p90_days"),
+            max(col("lead_days")).as("max_days"))
+          .orderBy("priority")
+      },
+      Some("""
+        WITH lead AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+                   AS lead_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        by_day AS (
+          SELECT priority, lead_days, COUNT(*) AS c
+          FROM lead GROUP BY priority, lead_days
+        ),
+        cum AS (
+          SELECT priority, lead_days,
+                 CAST(SUM(c) OVER (PARTITION BY priority ORDER BY lead_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+          FROM by_day
+        )
+        SELECT priority,
+               MAX(n) AS n_items,
+               MIN(lead_days) AS min_days,
+               MIN(CASE WHEN cum >= (50 * n + 99) // 100
+                        THEN lead_days END) AS p50_days,
+               MIN(CASE WHEN cum >= (90 * n + 99) // 100
+                        THEN lead_days END) AS p90_days,
+               MAX(lead_days) AS max_days
+        FROM cum
+        GROUP BY priority
+        ORDER BY priority
+      """.stripMargin.trim)),
+
+    // ---- q132: retention matrix in serving shape — q114's (cohort,
+    // offset) relation PIVOTed to one row per cohort with day-0/1/3/7/14
+    // columns (the triangle chart every dashboard draws). The pivot's
+    // value list is explicit and bounded, so the output schema is static
+    // (DriverSchemaSpec-compatible) and the plan is a plain conditional
+    // aggregation — which is exactly how the oracle spells it. ----
+    QueryDef(
+      "q132_retention_matrix",
+      (s, dir) => {
+        val activity = eventsDay(s, dir).select("user_id", "day").distinct()
+        val cohorts = activity.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        activity.join(cohorts, "user_id")
+          .withColumn("offset_days",
+            datediff(col("day"), col("cohort_day")).cast("long"))
+          .groupBy("cohort_day")
+          .pivot("offset_days", Seq(0L, 1L, 3L, 7L, 14L))
+          .agg(count(lit(1)))
+          .select(col("cohort_day"),
+            coalesce(col("0"), lit(0L)).as("d0"),
+            coalesce(col("1"), lit(0L)).as("d1"),
+            coalesce(col("3"), lit(0L)).as("d3"),
+            coalesce(col("7"), lit(0L)).as("d7"),
+            coalesce(col("14"), lit(0L)).as("d14"))
+          .orderBy("cohort_day")
+      },
+      Some(s"""
+        WITH activity AS (
+          SELECT DISTINCT user_id, day FROM ($oracleEventsDay)
+        ),
+        cohorts AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+        ),
+        off AS (
+          SELECT cohort_day,
+                 CAST(date_diff('day', cohort_day, day) AS BIGINT) AS o
+          FROM activity JOIN cohorts USING (user_id)
+        )
+        SELECT cohort_day,
+               CAST(COUNT(CASE WHEN o = 0 THEN 1 END) AS BIGINT) AS d0,
+               CAST(COUNT(CASE WHEN o = 1 THEN 1 END) AS BIGINT) AS d1,
+               CAST(COUNT(CASE WHEN o = 3 THEN 1 END) AS BIGINT) AS d3,
+               CAST(COUNT(CASE WHEN o = 7 THEN 1 END) AS BIGINT) AS d7,
+               CAST(COUNT(CASE WHEN o = 14 THEN 1 END) AS BIGINT) AS d14
+        FROM off
+        GROUP BY cohort_day
+        ORDER BY cohort_day
       """.stripMargin.trim))
   )
 }

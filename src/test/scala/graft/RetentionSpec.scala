@@ -249,6 +249,46 @@ class RetentionSpec extends AnyFunSuite {
     assert(support == expected, s"top pair support mismatch: $support vs $expected")
   }
 
+  test("q131: percentiles are ordered and match a brute-force sort") {
+    val rows = run("q131_leadtime_percentiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (min_d, p50, p90, max_d) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(min_d <= p50 && p50 <= p90 && p90 <= max_d,
+        s"percentile ordering: $r")
+    }
+    // Brute-force check for one priority: collect, sort, index nearest-rank.
+    val pri = rows.head.getString(0)
+    val lead = Tables.read(spark, TestSpark.sf0001, "lineitem")
+      .join(Tables.read(spark, TestSpark.sf0001, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority") === pri)
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    def nearest(p: Int) = lead((p * lead.length + 99) / 100 - 1)
+    assert(rows.head.getLong(3) == nearest(50), "p50 brute-force match")
+    assert(rows.head.getLong(4) == nearest(90), "p90 brute-force match")
+  }
+
+  test("q132: the retention matrix is consistent with q114's long form") {
+    val matrix = run("q132_retention_matrix").collect()
+      .map(r => r.getDate(0).toString ->
+        Map(0L -> r.getLong(1), 1L -> r.getLong(2), 3L -> r.getLong(3),
+          7L -> r.getLong(4), 14L -> r.getLong(5))).toMap
+    assert(matrix.nonEmpty)
+    val long = run("q114_cohort_retention").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    matrix.foreach { case (cohort, cells) =>
+      cells.foreach { case (off, n) =>
+        assert(n == long.getOrElse((cohort, off), 0L),
+          s"matrix[$cohort][$off] = $n disagrees with the long form")
+      }
+      // d0 is the cohort size: no later offset can exceed it.
+      assert(cells.values.forall(_ <= cells(0L)), s"d0 bounds $cohort")
+    }
+  }
+
   test("q117: slope/intercept match an independent exact re-derivation") {
     val out = run("q117_daily_trend").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
