@@ -77,7 +77,8 @@ object ScaleCheck {
       // near-dup data, not of the prefix-join plan.
       "q121_cdc_apply", "q123_skew_audit", "q124_time_weighted_avg",
       "q125_equi_depth_quintiles", "q127_source_divergence",
-      "q128_activity_streaks", "q129_pareto_classes", "q130_basket_pairs")
+      "q128_activity_streaks", "q129_pareto_classes", "q130_basket_pairs",
+      "q131_leadtime_percentiles", "q132_retention_matrix")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
