@@ -64,6 +64,33 @@ object TextQueries {
     (masks, pairs)
   }
 
+  /** (doc_id, cluster_rep, cluster_size) — q78's cluster relation, factored
+    * so the dedup-ROI report (q133) aggregates the SAME clustering.
+    * Clusters the distinct-SET graph (identical components, ~4x fewer
+    * edges than the doc-expanded pair list), then maps docs through their
+    * set's representative; set rep = min(doc_id), so the component rep is
+    * the min doc id of the whole cluster. Both inputs localCheckpoint
+    * LAZILY (eager would execute the crossJoin pipeline during schema-only
+    * inspections); the convergence loop's many actions then reuse the
+    * checkpoint instead of recomputing the pair pipeline. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val (masks0, pairs0) = maskPairs(s, dir)
+    val masks = masks0.localCheckpoint(eager = false)
+    val pairs = pairs0.localCheckpoint(eager = false)
+    val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
+    val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
+    val edges = pairs
+      .join(setRep.select(col("mask").as("m1"), col("srep").as("src")), "m1")
+      .join(setRep.select(col("mask").as("m2"), col("srep").as("dst")), "m2")
+      .select("src", "dst")
+    val verts = setRep.select(col("srep").as("id"))
+    val comp = graft.functions.Components.connectedComponents(verts, edges)
+    docSet.join(comp, docSet("srep") === comp("id"))
+      .select(col("doc_id"), col("rep").as("cluster_rep"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+  }
+
   private def exactNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val (masks, pairs) = maskPairs(s, dir)
     val inter = pairs
@@ -449,33 +476,7 @@ object TextQueries {
     // the oracle is a recursive-CTE transitive closure. ----
     QueryDef(
       "q78_dedup_clusters",
-      (s, dir) => {
-        // Cluster the distinct-SET graph (identical components, ~4× fewer
-        // edges than the doc-expanded pair list), then map docs through
-        // their set's representative. Set rep = min(doc_id) of the set, so
-        // the component rep is still the min doc id of the whole cluster.
-        // localCheckpoint both once (LAZY: eager would execute the crossJoin
-        // pipeline at DataFrame construction, i.e. during schema-only
-        // inspections): the first action materializes them, and the
-        // convergence loop's many actions then reuse the checkpoint instead
-        // of recomputing the pair pipeline.
-        val (masks0, pairs0) = maskPairs(s, dir)
-        val masks = masks0.localCheckpoint(eager = false)
-        val pairs = pairs0.localCheckpoint(eager = false)
-        val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
-        val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
-        val edges = pairs
-          .join(setRep.select(col("mask").as("m1"), col("srep").as("src")), "m1")
-          .join(setRep.select(col("mask").as("m2"), col("srep").as("dst")), "m2")
-          .select("src", "dst")
-        val verts = setRep.select(col("srep").as("id"))
-        val comp = graft.functions.Components.connectedComponents(verts, edges)
-        docSet.join(comp, docSet("srep") === comp("id"))
-          .select(col("doc_id"), col("rep").as("cluster_rep"))
-          .withColumn("cluster_size",
-            count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
-          .orderBy("doc_id")
-      },
+      (s, dir) => dedupClusters(s, dir).orderBy("doc_id"),
       Some("""
         WITH RECURSIVE
         t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -500,6 +501,73 @@ object TextQueries {
                COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
         FROM comp
         ORDER BY doc_id
+      """.stripMargin.trim)),
+
+    // ---- q133: dedup ROI report — what removing near-duplicates would
+    // buy, grouped by cluster size: cluster count, doc count, removable
+    // docs (size − 1 per cluster) and the token mass those removable docs
+    // carry (the canonical min-id member stays). Reuses q78's cluster
+    // relation verbatim (dedupClusters), joined with per-doc token counts;
+    // everything after the clustering is two linear keyed aggregations.
+    // The oracle re-derives the clusters with q78's recursive CTE. ----
+    QueryDef(
+      "q133_dedup_roi",
+      (s, dir) => {
+        val toks = docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        dedupClusters(s, dir).join(toks, "doc_id")
+          .groupBy("cluster_size")
+          .agg(countDistinct(col("cluster_rep")).as("n_clusters"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("doc_id") =!= col("cluster_rep"), col("n_tokens"))
+              .otherwise(0L)).as("tokens_removable"))
+          .withColumn("docs_removable",
+            col("n_docs") - col("n_clusters"))
+          .select("cluster_size", "n_clusters", "n_docs", "docs_removable",
+            "tokens_total", "tokens_removable")
+          .orderBy("cluster_size")
+      },
+      Some("""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(a.toks || b.toks)) > 0.8
+        ),
+        edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+          SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
+        ),
+        sized AS (
+          SELECT doc_id, cluster_rep,
+                 COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+          FROM comp
+        ),
+        ntok AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT cluster_size,
+               COUNT(DISTINCT cluster_rep) AS n_clusters,
+               COUNT(*) AS n_docs,
+               COUNT(*) - COUNT(DISTINCT cluster_rep) AS docs_removable,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+               CAST(SUM(CASE WHEN doc_id <> cluster_rep THEN n_tokens
+                             ELSE 0 END) AS BIGINT) AS tokens_removable
+        FROM sized JOIN ntok USING (doc_id)
+        GROUP BY cluster_size
+        ORDER BY cluster_size
       """.stripMargin.trim)),
 
     // ---- Dictionary-based language-ID heuristic → confusion matrix ----

@@ -32,4 +32,24 @@ class ComponentsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     twice.foreach { case (id, rep) => assert(id == rep, "reps must be stable") }
   }
+
+  test("q133 dedup ROI accounting is consistent with q78's clusters") {
+    val spark2 = TestSpark.spark
+    val rows = Registry.queries("q133_dedup_roi")(spark2, TestSpark.sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables
+      .read(spark2, TestSpark.sf0001, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs, "doc conservation")
+    rows.foreach { r =>
+      val (size, nClusters, n, removable, tokTotal, tokRemovable) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(n == size * nClusters, s"docs = size x clusters: $r")
+      assert(removable == n - nClusters, s"one survivor per cluster: $r")
+      assert(tokRemovable <= tokTotal, s"removable tokens bounded: $r")
+      // Size-1 clusters remove nothing.
+      if (size == 1L) assert(removable == 0L && tokRemovable == 0L)
+    }
+  }
 }
