@@ -73,7 +73,20 @@ object TextQueries {
     * LAZILY (eager would execute the crossJoin pipeline during schema-only
     * inspections); the convergence loop's many actions then reuse the
     * checkpoint instead of recomputing the pair pipeline. */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** Session-lifetime cluster-relation cache — the Ivf.trainCached
+    * pattern: q78 and q133 (and the iterative Components loop both imply)
+    * run the heaviest pipeline in this file; one lazily-checkpointed
+    * DataFrame per (session, dir) means the second consumer reuses the
+    * materialized clustering instead of re-running it. Test datasets are
+    * immutable per path (the documented cache-coherence contract). */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent((System.identityHashCode(s), dir),
+      _ => dedupClustersUncached(s, dir).localCheckpoint(eager = false))
+
+  private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
     val (masks0, pairs0) = maskPairs(s, dir)
     val masks = masks0.localCheckpoint(eager = false)
     val pairs = pairs0.localCheckpoint(eager = false)
@@ -106,6 +119,28 @@ object TextQueries {
         lit(1.0).cast("decimal(9,6)").cast("double").as("jac"))
     inter.unionAll(intra)
   }
+
+  /** The oracle-side clustering, shared VERBATIM by q78 and q133 so the two
+    * oracles cannot drift (the SQL twin of the dedupClusters helper). */
+  private val oracleClusterCte = """WITH RECURSIVE
+        t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                / len(list_distinct(a.toks || b.toks)) > 0.8
+        ),
+        edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+          SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
+        )"""
 
   lazy val defs: Seq[QueryDef] = Seq(
     // ---- H1: string function battery over part ----
@@ -477,26 +512,8 @@ object TextQueries {
     QueryDef(
       "q78_dedup_clusters",
       (s, dir) => dedupClusters(s, dir).orderBy("doc_id"),
-      Some("""
-        WITH RECURSIVE
-        t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-              FROM documents),
-        pairs AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2
-          FROM t a JOIN t b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                / len(list_distinct(a.toks || b.toks)) > 0.8
-        ),
-        edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-                  UNION ALL SELECT d2, d1 FROM pairs),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        ),
-        comp AS (
-          SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
-        )
+      Some(s"""
+        $oracleClusterCte
         SELECT doc_id, cluster_rep,
                COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
         FROM comp
@@ -528,26 +545,8 @@ object TextQueries {
             "tokens_total", "tokens_removable")
           .orderBy("cluster_size")
       },
-      Some("""
-        WITH RECURSIVE
-        t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-              FROM documents),
-        pairs AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2
-          FROM t a JOIN t b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                / len(list_distinct(a.toks || b.toks)) > 0.8
-        ),
-        edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-                  UNION ALL SELECT d2, d1 FROM pairs),
-        reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        ),
-        comp AS (
-          SELECT src AS doc_id, MIN(dst) AS cluster_rep FROM reach GROUP BY src
-        ),
+      Some(s"""
+        $oracleClusterCte,
         sized AS (
           SELECT doc_id, cluster_rep,
                  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size

@@ -33,23 +33,31 @@ class ComponentsSpec extends AnyFunSuite {
     twice.foreach { case (id, rep) => assert(id == rep, "reps must be stable") }
   }
 
-  test("q133 dedup ROI accounting is consistent with q78's clusters") {
-    val spark2 = TestSpark.spark
-    val rows = Registry.queries("q133_dedup_roi")(spark2, TestSpark.sf0001)
+  test("q133 dedup ROI accounting matches q78's cluster histogram") {
+    val rows = Registry.queries("q133_dedup_roi")(spark, TestSpark.sf0001)
       .collect()
     assert(rows.nonEmpty)
     val nDocs = graft.sources.Tables
-      .read(spark2, TestSpark.sf0001, "documents").count()
+      .read(spark, TestSpark.sf0001, "documents").count()
     assert(rows.map(_.getLong(2)).sum == nDocs, "doc conservation")
     rows.foreach { r =>
-      val (size, nClusters, n, removable, tokTotal, tokRemovable) =
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5))
+      val (size, nClusters, n, tokTotal, tokRemovable) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
       assert(n == size * nClusters, s"docs = size x clusters: $r")
-      assert(removable == n - nClusters, s"one survivor per cluster: $r")
       assert(tokRemovable <= tokTotal, s"removable tokens bounded: $r")
       // Size-1 clusters remove nothing.
-      if (size == 1L) assert(removable == 0L && tokRemovable == 0L)
+      if (size == 1L) assert(r.getLong(3) == 0L && tokRemovable == 0L)
     }
+    // The real cross-check: q133's per-size histogram must equal the one
+    // derived from q78's declared output (same clustering, two queries).
+    val fromQ78 = Registry
+      .queries("q78_dedup_clusters")(spark, TestSpark.sf0001)
+      .groupBy("cluster_size")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromQ133 = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fromQ133 == fromQ78,
+      s"q133 histogram $fromQ133 diverges from q78's $fromQ78")
   }
 }
