@@ -386,6 +386,97 @@ object VectorQueries {
         FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
         GROUP BY label_a, label_b
         ORDER BY label_a, label_b
+      """.stripMargin.trim)),
+
+    // ---- q134: class separability — per label, the within-class spread
+    // (RMS over dims of var = E[x²] − mean², every moment decimal-summed)
+    // against the distance to the NEAREST other centroid, and their ratio:
+    // the Fisher-style discriminability report for a labeled embedding
+    // corpus. All aggregations are label/dimension-keyed (bounded by
+    // #labels × dims); sqrt runs on identical doubles in both engines. ----
+    QueryDef(
+      "q134_label_separability",
+      (s, dir) => {
+        val moments = Tables.read(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("xd", col("x").cast("double"))
+          .groupBy(col("label"), col("pos").cast("long").as("pos"))
+          .agg(sum(col("xd").cast("decimal(28,12)")).as("sx"),
+            sum((col("xd") * col("xd")).cast("decimal(28,12)")).as("sxx"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("pos"), col("n"),
+            (col("sx").cast("double") / col("n"))
+              .cast("decimal(18,9)").cast("double").as("c"),
+            (col("sxx").cast("double") / col("n"))
+              .cast("decimal(18,9)").cast("double").as("ex2"))
+        val spread = moments
+          .withColumn("var_dim",
+            ((col("ex2") - col("c") * col("c")))
+              .cast("decimal(28,18)"))
+          .groupBy("label")
+          .agg(max(col("n")).as("n_vecs"),
+            sqrt((sum(col("var_dim")).cast("double") / 64))
+              .cast("decimal(18,9)").cast("double").as("rms_spread"))
+        val a = moments.select(col("label").as("la"), col("pos"),
+          col("c").as("ca"))
+        val b = moments.select(col("label").as("lb"), col("pos"),
+          col("c").as("cb"))
+        val dist = a.join(b, Seq("pos"))
+          .filter(col("la") =!= col("lb"))
+          .withColumn("d2",
+            ((col("ca") - col("cb")) * (col("ca") - col("cb")))
+              .cast("decimal(28,18)"))
+          .groupBy("la", "lb")
+          .agg(sqrt(sum(col("d2")).cast("double"))
+            .cast("decimal(18,9)").cast("double").as("d"))
+        val nearest = dist.groupBy(col("la").as("label"))
+          .agg(min(col("d")).as("nearest_dist"))
+        spread.join(nearest, "label")
+          .select(col("label"), col("n_vecs"), col("rms_spread"),
+            col("nearest_dist"),
+            Q.out6(col("nearest_dist") / col("rms_spread"))
+              .as("separability"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH t AS (
+          SELECT label,
+                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                 UNNEST(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE))) AS xd
+          FROM embeddings
+        ),
+        moments AS (
+          SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+                 CAST(CAST(CAST(SUM(CAST(xd AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE) AS c,
+                 CAST(CAST(CAST(SUM(CAST(xd * xd AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE) AS ex2
+          FROM t GROUP BY label, pos
+        ),
+        spread AS (
+          SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+                 CAST(CAST(sqrt(CAST(SUM(CAST(ex2 - c * c AS DECIMAL(28,18)))
+                   AS DOUBLE) / 64) AS DECIMAL(18,9)) AS DOUBLE) AS rms_spread
+          FROM moments GROUP BY label
+        ),
+        dist AS (
+          SELECT a.label AS la, b.label AS lb,
+                 CAST(CAST(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
+                   AS DECIMAL(28,18))) AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
+                   AS d
+          FROM moments a JOIN moments b
+            ON a.pos = b.pos AND a.label <> b.label
+          GROUP BY la, lb
+        ),
+        nearest AS (
+          SELECT la AS label, MIN(d) AS nearest_dist FROM dist GROUP BY la
+        )
+        SELECT label, n_vecs, rms_spread, nearest_dist,
+               CAST(CAST(nearest_dist / rms_spread AS DECIMAL(38,6))
+                 AS DOUBLE) AS separability
+        FROM spread JOIN nearest USING (label)
+        ORDER BY label
       """.stripMargin.trim))
   )
 }

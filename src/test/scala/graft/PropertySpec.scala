@@ -151,4 +151,27 @@ class PropertySpec extends AnyFunSuite {
       assert(dist(a, b) <= dist(a, c) + dist(c, b) + 2e-9,
         s"triangle violated on ($a,$b,$c)")
   }
+
+  test("q134 nearest separation agrees with q126's distance matrix") {
+    val spark = TestSpark.spark
+    val sep = Registry.queries("q134_label_separability")(
+      spark, TestSpark.sf0001).collect()
+    assert(sep.nonEmpty)
+    val d126 = Registry.queries("q126_centroid_distances")(
+      spark, TestSpark.sf0001).collect()
+      .flatMap { r =>
+        val (a, b, d) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+        Seq(a -> d, b -> d)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    sep.foreach { r =>
+      val (label, spread, nearest, ratio) =
+        (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(spread > 0.0, s"degenerate spread: $r")
+      assert(math.abs(nearest - d126(label)) < 1e-9,
+        s"nearest_dist must equal q126's row minimum: $r vs ${d126(label)}")
+      assert(math.abs(ratio - nearest / spread) < 1e-5,
+        s"separability is the declared ratio: $r")
+    }
+  }
 }
