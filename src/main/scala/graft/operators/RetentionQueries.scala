@@ -432,11 +432,14 @@ object RetentionQueries {
           .withColumn("local_rk", row_number().over(wBin))
           .join(broadcast(offsets), "bin")
           .withColumn("grank", col("before") + col("local_rk"))
+        // array_distinct: when a run of tied values straddles two boundary
+        // ranks, the duplicate boundary would otherwise make quintile ids
+        // skip; deduping merges the tied classes (fewer, still contiguous).
         val boundaries = ranked
           .filter(expr(
             "grank IN ((1*n+4) DIV 5, (2*n+4) DIV 5, (3*n+4) DIV 5, (4*n+4) DIV 5)"))
           .groupBy()
-          .agg(sort_array(collect_list(col("cents"))).as("bs"))
+          .agg(array_distinct(sort_array(collect_list(col("cents")))).as("bs"))
         o.crossJoin(broadcast(boundaries))
           .withColumn("quintile",
             lit(1L) + expr("size(filter(bs, b -> b < cents))"))
@@ -459,7 +462,7 @@ object RetentionQueries {
           FROM o
         ),
         bs AS (
-          SELECT list_sort(list(cents)) AS bs
+          SELECT list_distinct(list_sort(list(cents))) AS bs
           FROM ranked
           WHERE grank IN ((1*n+4)//5, (2*n+4)//5, (3*n+4)//5, (4*n+4)//5)
         )

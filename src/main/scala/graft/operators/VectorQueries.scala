@@ -48,6 +48,44 @@ object VectorQueries {
   private val oracleDotAB =
     "list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))"
 
+  /** (label, pos, n, c, ex2) — per-(label, dimension) count, mean, and
+    * mean-of-squares, every moment decimal-summed before the divide and
+    * rounded DECIMAL(18,9) → DOUBLE. ONE implementation shared by q100
+    * (centroids), q126 (distance matrix), and q134 (separability): the
+    * rounding chain is determinism-critical and three inline copies could
+    * silently diverge (the q133 clusterCte lesson). */
+  private def centroidMoments(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xd", col("x").cast("double"))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(sum(col("xd").cast("decimal(28,12)")).as("sx"),
+        sum((col("xd") * col("xd")).cast("decimal(28,12)")).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        (col("sx").cast("double") / col("n"))
+          .cast("decimal(18,9)").cast("double").as("c"),
+        (col("sxx").cast("double") / col("n"))
+          .cast("decimal(18,9)").cast("double").as("ex2"))
+
+  /** The oracle twin of [[centroidMoments]], shared verbatim by the q100/
+    * q126/q134 oracle SQL so the three cannot drift. */
+  private val oracleMomentsCte = """WITH t AS (
+          SELECT label,
+                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+                 UNNEST(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE))) AS xd
+          FROM embeddings
+        ),
+        moments AS (
+          SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+                 CAST(CAST(CAST(SUM(CAST(xd AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE) AS c,
+                 CAST(CAST(CAST(SUM(CAST(xd * xd AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE) AS ex2
+          FROM t GROUP BY label, pos
+        )"""
+
   lazy val defs: Seq[QueryDef] = Seq(
     // ---- I4 + embedding near-dup: bucketed (IVF-style) cosine pair join ----
     QueryDef(
@@ -304,29 +342,13 @@ object VectorQueries {
     QueryDef(
       "q100_label_centroids",
       (s, dir) =>
-        Tables.read(s, dir, "embeddings")
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("label"), col("pos").cast("long").as("pos"))
-          .agg(
-            sum(col("x").cast("double").cast("decimal(28,12)")).as("sd"),
-            count(lit(1)).as("n"))
-          .select(col("label"), col("pos"),
-            (col("sd").cast("double") / col("n"))
-              .cast("decimal(18,9)").cast("double").as("centroid"))
+        centroidMoments(s, dir)
+          .select(col("label"), col("pos"), col("c").as("centroid"))
           .orderBy("label", "pos"),
-      Some("""
-        WITH t AS (
-          SELECT label,
-                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
-                 UNNEST(list_transform(embedding,
-                   x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS xd
-          FROM embeddings
-        )
-        SELECT label, CAST(pos AS BIGINT) AS pos,
-               CAST(CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9))
-                 AS DOUBLE) AS centroid
-        FROM t
-        GROUP BY label, pos
+      Some(s"""
+        $oracleMomentsCte
+        SELECT label, pos, c AS centroid
+        FROM moments
         ORDER BY label, pos
       """.stripMargin.trim)),
 
@@ -341,14 +363,7 @@ object VectorQueries {
     QueryDef(
       "q126_centroid_distances",
       (s, dir) => {
-        val c = Tables.read(s, dir, "embeddings")
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("label"), col("pos").cast("long").as("pos"))
-          .agg(sum(col("x").cast("double").cast("decimal(28,12)")).as("sd"),
-            count(lit(1)).as("n"))
-          .select(col("label"), col("pos"),
-            (col("sd").cast("double") / col("n"))
-              .cast("decimal(18,9)").cast("double").as("c"))
+        val c = centroidMoments(s, dir)
         val a = c.select(col("label").as("label_a"), col("pos"),
           col("c").as("ca"))
         val b = c.select(col("label").as("label_b"), col("pos"),
@@ -364,26 +379,14 @@ object VectorQueries {
               .cast("decimal(18,9)").cast("double").as("l2_dist"))
           .orderBy("label_a", "label_b")
       },
-      Some("""
-        WITH t AS (
-          SELECT label,
-                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
-                 UNNEST(list_transform(embedding,
-                   x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12)))) AS xd
-          FROM embeddings
-        ),
-        c AS (
-          SELECT label, CAST(pos AS BIGINT) AS pos,
-                 CAST(CAST(CAST(SUM(xd) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9))
-                   AS DOUBLE) AS c
-          FROM t GROUP BY label, pos
-        )
+      Some(s"""
+        $oracleMomentsCte
         SELECT a.label AS label_a, b.label AS label_b,
                COUNT(*) AS dims,
                CAST(CAST(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c)
                  AS DECIMAL(28,18))) AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)
                  AS l2_dist
-        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        FROM moments a JOIN moments b ON a.pos = b.pos AND a.label < b.label
         GROUP BY label_a, label_b
         ORDER BY label_a, label_b
       """.stripMargin.trim)),
@@ -397,26 +400,24 @@ object VectorQueries {
     QueryDef(
       "q134_label_separability",
       (s, dir) => {
-        val moments = Tables.read(s, dir, "embeddings")
-          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .withColumn("xd", col("x").cast("double"))
-          .groupBy(col("label"), col("pos").cast("long").as("pos"))
-          .agg(sum(col("xd").cast("decimal(28,12)")).as("sx"),
-            sum((col("xd") * col("xd")).cast("decimal(28,12)")).as("sxx"),
-            count(lit(1)).as("n"))
-          .select(col("label"), col("pos"), col("n"),
-            (col("sx").cast("double") / col("n"))
-              .cast("decimal(18,9)").cast("double").as("c"),
-            (col("sxx").cast("double") / col("n"))
-              .cast("decimal(18,9)").cast("double").as("ex2"))
+        val moments = centroidMoments(s, dir)
+        // greatest(0, ...): each moment rounds through DECIMAL(18,9), so a
+        // near-constant dimension can make ex2 - c*c fractionally negative
+        // — unclamped, a degenerate label would sqrt(negative) into NaN.
+        // The divisor is the COUNTED dimensionality (the q126 discipline),
+        // not a literal that would silently mis-scale on a refit corpus.
         val spread = moments
           .withColumn("var_dim",
-            ((col("ex2") - col("c") * col("c")))
+            greatest(lit(0.0), col("ex2") - col("c") * col("c"))
               .cast("decimal(28,18)"))
           .groupBy("label")
           .agg(max(col("n")).as("n_vecs"),
-            sqrt((sum(col("var_dim")).cast("double") / 64))
+            sqrt(sum(col("var_dim")).cast("double") / count(lit(1)))
               .cast("decimal(18,9)").cast("double").as("rms_spread"))
+          // An all-constant label (spread 0) would divide to Infinity in
+          // Spark but ERROR in DuckDB's decimal cast — degenerate labels
+          // are excluded on both sides.
+          .filter(col("rms_spread") > 0.0)
         val a = moments.select(col("label").as("la"), col("pos"),
           col("c").as("ca"))
         val b = moments.select(col("label").as("lb"), col("pos"),
@@ -438,27 +439,15 @@ object VectorQueries {
               .as("separability"))
           .orderBy("label")
       },
-      Some("""
-        WITH t AS (
-          SELECT label,
-                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
-                 UNNEST(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE))) AS xd
-          FROM embeddings
-        ),
-        moments AS (
-          SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
-                 CAST(CAST(CAST(SUM(CAST(xd AS DECIMAL(28,12))) AS DOUBLE)
-                   / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE) AS c,
-                 CAST(CAST(CAST(SUM(CAST(xd * xd AS DECIMAL(28,12))) AS DOUBLE)
-                   / COUNT(*) AS DECIMAL(18,9)) AS DOUBLE) AS ex2
-          FROM t GROUP BY label, pos
-        ),
+      Some(s"""
+        $oracleMomentsCte,
         spread AS (
           SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
-                 CAST(CAST(sqrt(CAST(SUM(CAST(ex2 - c * c AS DECIMAL(28,18)))
-                   AS DOUBLE) / 64) AS DECIMAL(18,9)) AS DOUBLE) AS rms_spread
+                 CAST(CAST(sqrt(CAST(SUM(CAST(greatest(0, ex2 - c * c)
+                   AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*))
+                   AS DECIMAL(18,9)) AS DOUBLE) AS rms_spread
           FROM moments GROUP BY label
+          HAVING rms_spread > 0
         ),
         dist AS (
           SELECT a.label AS la, b.label AS lb,
