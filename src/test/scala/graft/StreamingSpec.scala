@@ -361,6 +361,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quota admission budget survives a checkpoint restart (no double-spend)") {
+    implicit val sqlCtx = spark.sqlContext
+    useRocksDB()
+    val ckpt = checkpoint()
+    // foreachBatch, not the memory sink: only sinks with replayable commit
+    // semantics support recovering from a checkpoint.
+    val admitted =
+      scala.collection.mutable.Set.empty[(String, Long, Long)]
+    def start(in: MemoryStream[LDoc]) =
+      StreamingOps.quotaAdmissionStream(spark, in.toDF(), quota = 2)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StreamingOps.Admission], _: Long) =>
+            ds.collect().foreach { a =>
+              admitted += ((a.lang, a.doc_id, a.admitted_rank))
+            }
+        }
+        .start()
+    // Run 1 spends one of the two budget slots, then the query STOPS.
+    val in1 = MemoryStream[LDoc]
+    val q1 = start(in1)
+    try {
+      in1.addData(LDoc("en", 10))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // Run 2 over the same checkpoint: the recovered counter must admit
+    // exactly ONE more doc — a reset-to-zero state store would admit two
+    // (double-spending the quota), the operational bug this guards.
+    val in2 = MemoryStream[LDoc]
+    in2.addData(LDoc("en", 10)) // sacrificial offset-aligning batch (skipped)
+    val q2 = start(in2)
+    try {
+      in2.addData(LDoc("en", 20), LDoc("en", 30))
+      q2.processAllAvailable()
+      assert(admitted.toSet == Set(("en", 10L, 1L), ("en", 20L, 2L)),
+        s"expected one pre-restart admission + one post-restart: $admitted")
+    } finally q2.stop()
+  }
+
   test("streaming top-k leaderboard converges to the batch aggregate's view") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[KIS]
