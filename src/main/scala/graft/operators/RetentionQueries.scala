@@ -546,13 +546,15 @@ object RetentionQueries {
           .agg((sum(col("p")) * 100).cast("long").as("v"))
         val bounds = perPart.agg(min(col("v")).as("minv"),
           max(col("v")).as("maxv"), sum(col("v")).as("total"))
-        // Materialize once: both the running-sum chain and the bin-offset
-        // table consume this frame — without the checkpoint the plan scans
-        // lineitem and recomputes the per-part aggregate twice per consumer.
+        // Materialize once (LAZILY — eager would execute the pipeline at
+        // construction, during schema/plan-only inspections): both the
+        // running-sum chain and the bin-offset table consume this frame —
+        // without the checkpoint the plan scans lineitem and recomputes
+        // the per-part aggregate twice per consumer.
         val binned = perPart.crossJoin(broadcast(bounds))
           .withColumn("bin",
             expr("((maxv - v) * 64) DIV (maxv - minv + 1)"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val wBin = Window.partitionBy("bin")
           .orderBy(col("v").desc, col("l_partkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -125,9 +125,11 @@ object SketchJoinQueries {
           // prefix self-join's two sides, and both verify sides) would
           // otherwise each replay tokenize → shingle → two aggregations —
           // the exact recompute shape q78's maskPairs fix established
-          // (BASELINE.md round-2 notes). The checkpoint is #distinct-sets
-          // rows, corpus-collapsed by construction.
-          .localCheckpoint()
+          // (BASELINE.md round-2 notes). LAZY: eager would run the pipeline
+          // at DataFrame construction, i.e. during schema/plan-only
+          // inspections (the q78 lesson); the first real action
+          // materializes it for all consumers. #distinct-sets rows.
+          .localCheckpoint(eager = false)
         val df = sets.select(explode(col("shs")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("n_sets"))
         // No broadcast hint: the shingle-df table grows with the corpus —

@@ -80,11 +80,23 @@ object TextQueries {
     * materialized clustering instead of re-running it. Test datasets are
     * immutable per path (the documented cache-coherence contract). */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent((System.identityHashCode(s), dir),
-      _ => dedupClustersUncached(s, dir).localCheckpoint(eager = false))
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // Keyed by the application id + session start time (never reused,
+    // unlike an identity hash after GC); a cached frame whose context has
+    // since been stopped is replaced rather than handed out as a dead
+    // reference.
+    val key = (s.sparkContext.applicationId + "/" +
+      s.sparkContext.startTime, dir)
+    val cached = clusterCache.get(key)
+    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
+    else {
+      val fresh = dedupClustersUncached(s, dir).localCheckpoint(eager = false)
+      clusterCache.put(key, fresh)
+      fresh
+    }
+  }
 
   private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
     val (masks0, pairs0) = maskPairs(s, dir)
