@@ -36,7 +36,13 @@ object Bench {
     // A throwing query records time -1 and lands in the "failed" list —
     // silently recording its time-to-failure would make a fail-fast
     // regression read as a speedup.
+    // SPARK_GRAFT_BENCH_VERBOSE=1: per-query start markers on stderr, for
+    // correlating log events (e.g. a DAGScheduler ERROR) with the query
+    // that triggered them. Off by default — the driver's tail capture is
+    // bounded and the one JSON line must stay inside it.
+    val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (verbose) System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)

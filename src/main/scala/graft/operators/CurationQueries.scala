@@ -404,18 +404,23 @@ object CurationQueries {
     // and one shuffle keyed by column name — instead of N separate
     // aggregation passes (N scans) or N COUNT(DISTINCT)s in one aggregate
     // (an N-way Expand). min/max compare the string form (lexicographic;
-    // uniform-width doc_id/n_chars renderings make that numeric-consistent
-    // here — the metrics that gate pipelines are the counts). ----
+    // numerics render at the full 19-digit width of a non-negative BIGINT,
+    // so lexicographic == numeric for the whole legal domain; a NEGATIVE
+    // value would silently invert that order, so it raises instead —
+    // loud wrongness beats a wrong min). ----
     QueryDef(
       "q118_table_profile",
       (s, dir) => {
+        def fixedW(c: String): org.apache.spark.sql.Column =
+          when(col(c) < 0, raise_error(concat(
+            lit(s"q118: negative $c breaks lexicographic min/max: "),
+            col(c).cast("string"))).cast("string"))
+            .otherwise(format_string("%019d", col(c)))
         val melted = docs(s, dir).select(
           explode(array(
-            struct(lit("doc_id").as("col"),
-              format_string("%010d", col("doc_id")).as("v")),
+            struct(lit("doc_id").as("col"), fixedW("doc_id").as("v")),
             struct(lit("lang").as("col"), col("lang").as("v")),
-            struct(lit("n_chars").as("col"),
-              format_string("%010d", col("n_chars")).as("v")),
+            struct(lit("n_chars").as("col"), fixedW("n_chars").as("v")),
             struct(lit("source").as("col"), col("source").as("v")),
             struct(lit("text").as("col"), col("text").as("v")))))
           .select(col("col.col").as("c"), col("col.v").as("v"))
@@ -431,9 +436,9 @@ object CurationQueries {
         WITH melted AS (
           SELECT u.c, u.v FROM documents,
           LATERAL (VALUES
-            ('doc_id', printf('%010d', doc_id)),
+            ('doc_id', printf('%019d', doc_id)),
             ('lang', lang),
-            ('n_chars', printf('%010d', n_chars)),
+            ('n_chars', printf('%019d', n_chars)),
             ('source', source),
             ('text', text)) AS u(c, v)
         )

@@ -73,30 +73,16 @@ object TextQueries {
     * LAZILY (eager would execute the crossJoin pipeline during schema-only
     * inspections); the convergence loop's many actions then reuse the
     * checkpoint instead of recomputing the pair pipeline. */
-  /** Session-lifetime cluster-relation cache — the Ivf.trainCached
-    * pattern: q78 and q133 (and the iterative Components loop both imply)
-    * run the heaviest pipeline in this file; one lazily-checkpointed
-    * DataFrame per (session, dir) means the second consumer reuses the
-    * materialized clustering instead of re-running it. Test datasets are
-    * immutable per path (the documented cache-coherence contract). */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // Keyed by the application id + session start time (never reused,
-    // unlike an identity hash after GC); a cached frame whose context has
-    // since been stopped is replaced rather than handed out as a dead
-    // reference.
-    val key = (s.sparkContext.applicationId + "/" +
-      s.sparkContext.startTime, dir)
-    val cached = clusterCache.get(key)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else {
-      val fresh = dedupClustersUncached(s, dir).localCheckpoint(eager = false)
-      clusterCache.put(key, fresh)
-      fresh
+  /** Session-lifetime cluster-relation cache via [[graft.SessionCache]]
+    * (the Ivf.trainCached pattern): q78 and q133 run the heaviest pipeline
+    * in this file; one lazily-checkpointed DataFrame per (session, dir)
+    * means the second consumer reuses the materialized clustering instead
+    * of re-running it. SessionCache owns the dead-session handling (stale
+    * frames from stopped sessions are swept on miss, never handed out). */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"dedup-clusters:$dir") {
+      dedupClustersUncached(s, dir).localCheckpoint(eager = false)
     }
-  }
 
   private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
     val (masks0, pairs0) = maskPairs(s, dir)

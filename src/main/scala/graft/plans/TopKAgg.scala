@@ -4,7 +4,7 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -169,17 +169,30 @@ case class TopKBy(
 }
 
 object TopKBy {
-  /** Builder for function-registry registration: k must be a foldable
-    * integer literal (`graft_topk(score, id, 5)`). */
+  /** Builder for function-registry registration: k must fold to an integral
+    * constant — a bare literal (`graft_topk(score, id, 5)`), a foldable
+    * expression (`2 + 3`), or a BIGINT literal that fits an Int all work;
+    * anything non-foldable (a column, a rand() call) is rejected, since k
+    * bounds per-heap state and must be known at plan time. */
   def fromExprs(exprs: Seq[Expression]): TopKBy = {
     require(exprs.length == 3,
       s"graft_topk takes (score, id, k), got ${exprs.length} args")
     val k = exprs(2) match {
-      case Literal(v: Int, IntegerType) => v
+      case e if e.foldable =>
+        e.eval() match {
+          case i: Int                     => i
+          case l: Long if l.isValidInt    => l.toInt
+          case s: Short                   => s.toInt
+          case b: Byte                    => b.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_topk k must fold to an integer, got $other")
+        }
       case other =>
         throw new IllegalArgumentException(
-          s"graft_topk k must be an integer literal, got $other")
+          s"graft_topk k must be a constant (foldable) integer, got $other")
     }
+    require(k > 0, s"graft_topk k must be positive, got $k")
     TopKBy(exprs(0), exprs(1), k)
   }
 }

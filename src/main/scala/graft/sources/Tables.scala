@@ -21,10 +21,19 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = star ++ Seq("events", "documents", "embeddings")
 
+  /** Memoized per (session, dir, table): `spark.read.parquet` eagerly lists
+    * the directory and reads a footer for the schema on EVERY call, and a
+    * 134-query run re-reads each table dozens of times. Reusing the
+    * DataFrame reuses its file index and schema — part of the per-query
+    * fixed-cost floor the round-4 bench identified. Queries only apply
+    * transformations on top (never mutate), so sharing the relation is
+    * safe; datasets are immutable per path (SessionCache contract). */
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    name match {
-      case "events" => events(spark, dir)
-      case t        => spark.read.parquet(s"$dir/$t.parquet")
+    graft.SessionCache.getOrBuild(spark, s"table:$dir/$name") {
+      name match {
+        case "events" => events(spark, dir)
+        case t        => spark.read.parquet(s"$dir/$t.parquet")
+      }
     }
 
   /** The ONE ts conversion shared by the batch reader and the streaming

@@ -79,9 +79,13 @@ object ScaleCheck {
       "q125_equi_depth_quintiles", "q127_source_divergence",
       "q128_activity_streaks", "q129_pareto_classes", "q130_basket_pairs",
       "q131_leadtime_percentiles", "q132_retention_matrix")
+    // toRdd.count(), NOT Dataset.count(): the latter rewrites to a
+    // groupBy().count() that lets the optimizer prune the final orderBy /
+    // presentation project, under-measuring queries whose cost sits in
+    // that sort. toRdd executes the plan exactly as declared.
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
-      Registry.queries(name)(spark, dir).count()
+      Registry.queries(name)(spark, dir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
     // warm both directories once
