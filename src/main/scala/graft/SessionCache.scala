@@ -51,4 +51,40 @@ object SessionCache {
 
   /** Visible for tests: current number of live entries. */
   private[graft] def size: Int = map.size()
+
+  private val pins = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+
+  /** Pins `value` for the lifetime of `s` (swept when the context stops).
+    *
+    * Used by [[lazyLocalCheckpoint]] to keep a checkpointed plan's
+    * driver-side SQLMetric accumulators strongly reachable: Spark's
+    * accumulator registry holds only WEAK references, and a lazy local
+    * checkpoint drops its own strong ones when the first consumer's job
+    * truncates the lineage (`markCheckpointed` nulls the closures mid-way
+    * through that consumer's multi-job AQE execution). Any task-completion
+    * event still in flight then logs `ERROR DAGScheduler: ... attempted to
+    * access non-existent accumulator` once GC has collected the metrics —
+    * reproduced 125× on q122 with a 3 GiB driver heap, gone with the pin.
+    * The updates land in a plan nobody will display again; the pin only
+    * spends a few KB of plan objects per site per session. */
+  def pin(s: SparkSession, value: AnyRef): Unit = {
+    val it = pins.iterator()
+    while (it.hasNext)
+      if (it.next().session.sparkContext.isStopped) it.remove()
+    pins.add(Entry(s, value))
+  }
+
+  /** `df.localCheckpoint(eager = false)` with the originating plan pinned
+    * (see [[pin]]). Lazy by design: an eager checkpoint runs jobs at
+    * DataFrame CONSTRUCTION time, i.e. during schema/plan-only
+    * inspections. Every multi-consumer shared subplan in the engine
+    * (q78/q133's cluster relation, q122/q129, MinHash, SemanticDedup)
+    * goes through here. */
+  def lazyLocalCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    pin(df.sparkSession, df)
+    df.localCheckpoint(eager = false)
+  }
+
+  /** Visible for tests: current number of live pins. */
+  private[graft] def pinCount: Int = pins.size()
 }

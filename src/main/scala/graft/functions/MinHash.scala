@@ -69,10 +69,12 @@ object MinHash {
     require(numBands >= 1 && numHashes % numBands == 0,
       s"numBands ($numBands) must divide numHashes ($numHashes) — see bands()")
     // Checkpoint the collapsed-set stage (lazy — eager would run a job at
-    // plan-construction time): three downstream actions (the vocab-size
-    // probe, the candidate pipeline, the member expansion) would otherwise
-    // each recompute the corpus groupBy.
-    val grouped = distinctSets(docs, idCol, tokensCol).localCheckpoint(eager = false)
+    // plan-construction time; pinned against the accumulator race — see
+    // SessionCache.pin): three downstream actions (the vocab-size probe,
+    // the candidate pipeline, the member expansion) would otherwise each
+    // recompute the corpus groupBy.
+    val grouped =
+      graft.SessionCache.lazyLocalCheckpoint(distinctSets(docs, idCol, tokensCol))
     val sets = grouped.select(col("rep"), col("toks"))
     val sig = sets.withColumn("sig", signature(col("toks"), numHashes))
     val banded = bands(sig, "sig", numBands).select("rep", "band_hash")

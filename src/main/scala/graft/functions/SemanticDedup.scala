@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object SemanticDedup {
 
   /** (vec_id, e, nrm, c): the corpus with its cluster assignment —
-    * MATERIALIZED once (lazy localCheckpoint, the q78 maskPairs pattern)
+    * MATERIALIZED once (lazy persist, the q78 maskPairs pattern)
     * because the plan references it up to three times (both pair-join
     * sides + the summary counts), and the assignment projection walks the
     * nlist×dim centroid-score array per row; without the checkpoint each
@@ -37,8 +37,8 @@ object SemanticDedup {
   private def clustered(vecs: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     graft.plans.VectorFunctions.register(vecs.sparkSession)
-    vecs.withColumn("c", Ivf.assignment(col("e"), centroids))
-      .localCheckpoint(eager = false)
+    graft.SessionCache.lazyLocalCheckpoint(
+      vecs.withColumn("c", Ivf.assignment(col("e"), centroids)))
   }
 
   /** Distinct (c, vec_id) rows for every DROPPED vector, from a

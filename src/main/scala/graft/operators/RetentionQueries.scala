@@ -547,14 +547,15 @@ object RetentionQueries {
         val bounds = perPart.agg(min(col("v")).as("minv"),
           max(col("v")).as("maxv"), sum(col("v")).as("total"))
         // Materialize once (LAZILY — eager would execute the pipeline at
-        // construction, during schema/plan-only inspections): both the
+        // construction, during schema/plan-only inspections; pinned
+        // against the accumulator race — see SessionCache.pin): both the
         // running-sum chain and the bin-offset table consume this frame —
         // without the checkpoint the plan scans lineitem and recomputes
         // the per-part aggregate twice per consumer.
-        val binned = perPart.crossJoin(broadcast(bounds))
-          .withColumn("bin",
-            expr("((maxv - v) * 64) DIV (maxv - minv + 1)"))
-          .localCheckpoint(eager = false)
+        val binned = graft.SessionCache.lazyLocalCheckpoint(
+          perPart.crossJoin(broadcast(bounds))
+            .withColumn("bin",
+              expr("((maxv - v) * 64) DIV (maxv - minv + 1)")))
         val wBin = Window.partitionBy("bin")
           .orderBy(col("v").desc, col("l_partkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

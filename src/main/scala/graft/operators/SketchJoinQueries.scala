@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import graft.QueryDef
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -125,11 +127,17 @@ object SketchJoinQueries {
           // prefix self-join's two sides, and both verify sides) would
           // otherwise each replay tokenize → shingle → two aggregations —
           // the exact recompute shape q78's maskPairs fix established
-          // (BASELINE.md round-2 notes). LAZY: eager would run the pipeline
-          // at DataFrame construction, i.e. during schema/plan-only
-          // inspections (the q78 lesson); the first real action
-          // materializes it for all consumers. #distinct-sets rows.
-          .localCheckpoint(eager = false)
+          // (BASELINE.md round-2 notes). lazyLocalCheckpoint = lazy (eager
+          // would run the pipeline at DataFrame construction, during
+          // schema/plan-only inspections — the q78 lesson) + the plan PIN
+          // that keeps the originating SQLMetric accumulators reachable;
+          // without the pin this exact query logged `ERROR DAGScheduler:
+          // ... non-existent accumulator` 125× under a 3 GiB heap (see
+          // SessionCache.pin). A plain persist() was tried and rejected:
+          // it keeps the full lineage, so it fixes the ERROR but re-plans
+          // the whole subtree per consumer (q133 5.3 s → 8.7 s measured).
+          // #distinct-sets rows.
+          .pipe(graft.SessionCache.lazyLocalCheckpoint)
         val df = sets.select(explode(col("shs")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("n_sets"))
         // No broadcast hint: the shingle-df table grows with the corpus —

@@ -69,10 +69,12 @@ object TextQueries {
     * Clusters the distinct-SET graph (identical components, ~4x fewer
     * edges than the doc-expanded pair list), then maps docs through their
     * set's representative; set rep = min(doc_id), so the component rep is
-    * the min doc id of the whole cluster. Both inputs localCheckpoint
-    * LAZILY (eager would execute the crossJoin pipeline during schema-only
-    * inspections); the convergence loop's many actions then reuse the
-    * checkpoint instead of recomputing the pair pipeline. */
+    * the min doc id of the whole cluster. Both inputs go through
+    * lazyLocalCheckpoint (lazy — eager would execute the crossJoin
+    * pipeline during schema-only inspections; pinned — see
+    * SessionCache.pin's accumulator-race note); the convergence loop's
+    * many actions then reuse the checkpoint instead of recomputing the
+    * pair pipeline. */
   /** Session-lifetime cluster-relation cache via [[graft.SessionCache]]
     * (the Ivf.trainCached pattern): q78 and q133 run the heaviest pipeline
     * in this file; one lazily-checkpointed DataFrame per (session, dir)
@@ -81,13 +83,13 @@ object TextQueries {
     * frames from stopped sessions are swept on miss, never handed out). */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"dedup-clusters:$dir") {
-      dedupClustersUncached(s, dir).localCheckpoint(eager = false)
+      graft.SessionCache.lazyLocalCheckpoint(dedupClustersUncached(s, dir))
     }
 
   private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
     val (masks0, pairs0) = maskPairs(s, dir)
-    val masks = masks0.localCheckpoint(eager = false)
-    val pairs = pairs0.localCheckpoint(eager = false)
+    val masks = graft.SessionCache.lazyLocalCheckpoint(masks0)
+    val pairs = graft.SessionCache.lazyLocalCheckpoint(pairs0)
     val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
     val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
     val edges = pairs

@@ -97,6 +97,26 @@ object ScaleCheck {
       val t10 = time(dst, n)
       println(f"[scale] $n%-26s $t1%8.2f $t10%8.2f  ${t10 / t1}%5.1fx")
     }
+    // Clustering pipeline (q78/q133, functions/Components): timed with the
+    // volumes that explain it. On a replicated near-dup corpus the
+    // cross-copy EDGE list grows superlinearly BY CONSTRUCTION (each copy
+    // stays a near-dup of every other copy's originals — same data
+    // property that excludes q33/q50/q122 from the linear table above),
+    // while the cluster relation OUTPUT stays linear in documents. So the
+    // wall ratio is reported alongside the measured pair volume and output
+    // rows: time should track edges, output should track documents.
+    // q78 is timed on its FIRST run per dir — the session cluster cache
+    // would make a second run ~0 s (that sharing is measured by the bench,
+    // not here).
+    val pairs1 = Registry.queries("q33_neardup_pairs")(spark, src).count()
+    val c1 = time(src, "q78_dedup_clusters")
+    val rows1 = Registry.queries("q78_dedup_clusters")(spark, src).count()
+    val pairs10 = Registry.queries("q33_neardup_pairs")(spark, dst).count()
+    val c10 = time(dst, "q78_dedup_clusters")
+    val rows10 = Registry.queries("q78_dedup_clusters")(spark, dst).count()
+    println(f"[scale] q78_dedup_clusters(cc)  $c1%8.2f $c10%8.2f  ${c10 / c1}%5.1fx" +
+      f"  pairs $pairs1%,d -> $pairs10%,d (${pairs10.toDouble / pairs1}%.1fx)" +
+      f"  output rows $rows1%,d -> $rows10%,d (${rows10.toDouble / rows1}%.1fx)")
     spark.stop()
   }
 }
