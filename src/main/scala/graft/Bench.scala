@@ -35,12 +35,21 @@ object Bench {
     // file-listing costs either.
     val warmup = Seq("q01_pricing_summary", "q03_top_revenue_orders",
       "q13_top_orders_per_customer", "q35_word_freq", "q28_sessionization")
+    // A failed warm-up must be LOUD (stderr, not the JSON line): the
+    // warm-up is load-bearing for the recorded band, so silently skipping
+    // it (e.g. the sf0.001 fixture absent on a different host) would shift
+    // timed numbers by seconds and read as a code regression.
+    val warmupDir = "/root/testdata/sf0.001"
     warmup.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try SparkEntry.queries(name)(spark, warmupDir).count()
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED $name on $warmupDir: ${t.getClass.getSimpleName} — timed numbers will run cold")
+      }
     }
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] WARMUP FAILED q01 on $sfDir: ${t.getClass.getSimpleName}")
+    }
     // Deterministic execution order (sorted by name) so per-query times are
     // comparable across rounds.
     // A throwing query records time -1 and lands in the "failed" list —

@@ -8,11 +8,16 @@ import org.apache.spark.sql.SparkSession
   * ([[graft.sources.Tables]]) and the expensive multi-consumer pipelines
   * (TextQueries.dedupClusters). One JVM can host many SparkSessions over its
   * lifetime (every ScalaTest suite, Verify run and Bench run builds one), so
-  * entries are keyed by `applicationId + startTime` — a pair that is never
-  * reused, unlike an identity hash after GC — and any cache MISS sweeps
-  * entries whose owning context has stopped, so stale values (in particular
-  * lazily-checkpointed DataFrames from dead sessions) cannot accumulate for
-  * the JVM lifetime on a multi-session host.
+  * entries are keyed by `applicationId + startTime + identityHashCode` and a
+  * hit additionally requires the cached entry's session to be THE SAME
+  * object (`eq`) with a live context — two sessions sharing one
+  * SparkContext (`newSession()`/`cloneSession()`) have distinct session
+  * state (function registry, confs), so handing one session's DataFrame to
+  * the other would silently bind the wrong state. Distinct sessions that
+  * collide on a key simply rebuild (correct, merely un-memoized). Any cache
+  * MISS sweeps entries whose owning context has stopped, so stale values
+  * (in particular lazily-checkpointed DataFrames from dead sessions) cannot
+  * accumulate for the JVM lifetime on a multi-session host.
   *
   * Cache-coherence contract: values are keyed by a caller-chosen tag that
   * embeds the source directory; the test datasets are immutable per path
@@ -29,20 +34,26 @@ object SessionCache {
   private val map = new ConcurrentHashMap[(String, String), Entry]()
 
   private def sessionKey(s: SparkSession): String =
-    s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    s.sparkContext.applicationId + "/" + s.sparkContext.startTime + "/" +
+      Integer.toHexString(System.identityHashCode(s))
+
+  private def sweepStopped(): Unit = {
+    val it = map.entrySet().iterator()
+    while (it.hasNext)
+      if (it.next().getValue.session.sparkContext.isStopped) it.remove()
+  }
 
   /** The memoized value for (session, tag), building (and sweeping dead
     * sessions' entries) on miss. A hit whose owning context has since been
-    * stopped is rebuilt rather than handed out as a dead reference. */
+    * stopped — or whose entry belongs to a DIFFERENT session object that
+    * collided on the key — is rebuilt rather than handed out. */
   def getOrBuild[T <: AnyRef](s: SparkSession, tag: String)(build: => T): T = {
     val key = (sessionKey(s), tag)
     val hit = map.get(key)
-    if (hit != null && !hit.session.sparkContext.isStopped)
+    if (hit != null && (hit.session eq s) && !hit.session.sparkContext.isStopped)
       hit.value.asInstanceOf[T]
     else {
-      val it = map.entrySet().iterator()
-      while (it.hasNext)
-        if (it.next().getValue.session.sparkContext.isStopped) it.remove()
+      sweepStopped()
       val v = build
       map.put(key, Entry(s, v))
       v
@@ -52,9 +63,10 @@ object SessionCache {
   /** Visible for tests: current number of live entries. */
   private[graft] def size: Int = map.size()
 
-  private val pins = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
-
-  /** Pins `value` for the lifetime of `s` (swept when the context stops).
+  /** Pins `value` for the lifetime of `s` under a per-site tag (swept when
+    * the context stops; REPLACED when the same site pins again in the same
+    * session, so a long-lived session holds at most one pinned plan per
+    * site rather than one per query construction).
     *
     * Used by [[lazyLocalCheckpoint]] to keep a checkpointed plan's
     * driver-side SQLMetric accumulators strongly reachable: Spark's
@@ -65,13 +77,15 @@ object SessionCache {
     * event still in flight then logs `ERROR DAGScheduler: ... attempted to
     * access non-existent accumulator` once GC has collected the metrics —
     * reproduced 125× on q122 with a 3 GiB driver heap, gone with the pin.
-    * The updates land in a plan nobody will display again; the pin only
-    * spends a few KB of plan objects per site per session. */
-  def pin(s: SparkSession, value: AnyRef): Unit = {
-    val it = pins.iterator()
-    while (it.hasNext)
-      if (it.next().session.sparkContext.isStopped) it.remove()
-    pins.add(Entry(s, value))
+    * Replacement is safe in this engine because repeated constructions of
+    * the same site within a session are sequential (Verify/Bench/tests run
+    * queries one at a time); if two executions of one site ever did
+    * overlap, the worst case is the original benign log ERROR, not a wrong
+    * result. */
+  def pin(s: SparkSession, tag: String, value: AnyRef): Unit = {
+    val key = (sessionKey(s), "pin:" + tag)
+    if (map.get(key) == null) sweepStopped()
+    map.put(key, Entry(s, value))
   }
 
   /** `df.localCheckpoint(eager = false)` with the originating plan pinned
@@ -79,12 +93,18 @@ object SessionCache {
     * DataFrame CONSTRUCTION time, i.e. during schema/plan-only
     * inspections. Every multi-consumer shared subplan in the engine
     * (q78/q133's cluster relation, q122/q129, MinHash, SemanticDedup)
-    * goes through here. */
-  def lazyLocalCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    pin(df.sparkSession, df)
+    * goes through here, each under its own site tag. */
+  def lazyLocalCheckpoint(tag: String)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    pin(df.sparkSession, tag, df)
     df.localCheckpoint(eager = false)
   }
 
   /** Visible for tests: current number of live pins. */
-  private[graft] def pinCount: Int = pins.size()
+  private[graft] def pinCount: Int = {
+    var n = 0
+    val it = map.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith("pin:")) n += 1
+    n
+  }
 }

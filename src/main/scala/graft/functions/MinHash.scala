@@ -73,8 +73,8 @@ object MinHash {
     // SessionCache.pin): three downstream actions (the vocab-size probe,
     // the candidate pipeline, the member expansion) would otherwise each
     // recompute the corpus groupBy.
-    val grouped =
-      graft.SessionCache.lazyLocalCheckpoint(distinctSets(docs, idCol, tokensCol))
+    val grouped = graft.SessionCache.lazyLocalCheckpoint("minhash-sets")(
+      distinctSets(docs, idCol, tokensCol))
     val sets = grouped.select(col("rep"), col("toks"))
     val sig = sets.withColumn("sig", signature(col("toks"), numHashes))
     val banded = bands(sig, "sig", numBands).select("rep", "band_hash")

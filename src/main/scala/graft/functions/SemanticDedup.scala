@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object SemanticDedup {
 
   /** (vec_id, e, nrm, c): the corpus with its cluster assignment —
-    * MATERIALIZED once (lazy persist, the q78 maskPairs pattern)
+    * MATERIALIZED once (lazy localCheckpoint, the q78 maskPairs pattern)
     * because the plan references it up to three times (both pair-join
     * sides + the summary counts), and the assignment projection walks the
     * nlist×dim centroid-score array per row; without the checkpoint each
@@ -37,7 +37,7 @@ object SemanticDedup {
   private def clustered(vecs: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     graft.plans.VectorFunctions.register(vecs.sparkSession)
-    graft.SessionCache.lazyLocalCheckpoint(
+    graft.SessionCache.lazyLocalCheckpoint("semdedup-clustered")(
       vecs.withColumn("c", Ivf.assignment(col("e"), centroids)))
   }
 

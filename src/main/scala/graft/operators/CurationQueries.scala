@@ -434,11 +434,20 @@ object CurationQueries {
       },
       Some("""
         WITH melted AS (
+          -- Same negative guard as the Spark side: printf('%019d', -42)
+          -- renders '-000...42', whose lexicographic order is INVERTED
+          -- among negatives ('-' sorts before digits), so an unguarded
+          -- oracle would emit a silently wrong-but-confident min/max
+          -- against Spark's loud raise_error. Failure must be symmetric.
           SELECT u.c, u.v FROM documents,
           LATERAL (VALUES
-            ('doc_id', printf('%019d', doc_id)),
+            ('doc_id', CASE WHEN doc_id < 0
+               THEN error('q118: negative doc_id breaks lexicographic min/max')
+               ELSE printf('%019d', doc_id) END),
             ('lang', lang),
-            ('n_chars', printf('%019d', n_chars)),
+            ('n_chars', CASE WHEN n_chars < 0
+               THEN error('q118: negative n_chars breaks lexicographic min/max')
+               ELSE printf('%019d', n_chars) END),
             ('source', source),
             ('text', text)) AS u(c, v)
         )

@@ -552,7 +552,7 @@ object RetentionQueries {
         // running-sum chain and the bin-offset table consume this frame —
         // without the checkpoint the plan scans lineitem and recomputes
         // the per-part aggregate twice per consumer.
-        val binned = graft.SessionCache.lazyLocalCheckpoint(
+        val binned = graft.SessionCache.lazyLocalCheckpoint("q129-binned")(
           perPart.crossJoin(broadcast(bounds))
             .withColumn("bin",
               expr("((maxv - v) * 64) DIV (maxv - minv + 1)")))

@@ -137,7 +137,7 @@ object SketchJoinQueries {
           // it keeps the full lineage, so it fixes the ERROR but re-plans
           // the whole subtree per consumer (q133 5.3 s → 8.7 s measured).
           // #distinct-sets rows.
-          .pipe(graft.SessionCache.lazyLocalCheckpoint)
+          .pipe(graft.SessionCache.lazyLocalCheckpoint("q122-shingle-sets"))
         val df = sets.select(explode(col("shs")).as("sh"))
           .groupBy("sh").agg(count(lit(1)).as("n_sets"))
         // No broadcast hint: the shingle-df table grows with the corpus —

@@ -83,13 +83,14 @@ object TextQueries {
     * frames from stopped sessions are swept on miss, never handed out). */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"dedup-clusters:$dir") {
-      graft.SessionCache.lazyLocalCheckpoint(dedupClustersUncached(s, dir))
+      graft.SessionCache.lazyLocalCheckpoint(s"dedup-clusters:$dir")(
+        dedupClustersUncached(s, dir))
     }
 
   private def dedupClustersUncached(s: SparkSession, dir: String): DataFrame = {
     val (masks0, pairs0) = maskPairs(s, dir)
-    val masks = graft.SessionCache.lazyLocalCheckpoint(masks0)
-    val pairs = graft.SessionCache.lazyLocalCheckpoint(pairs0)
+    val masks = graft.SessionCache.lazyLocalCheckpoint(s"dedup-masks:$dir")(masks0)
+    val pairs = graft.SessionCache.lazyLocalCheckpoint(s"dedup-pairs:$dir")(pairs0)
     val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
     val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
     val edges = pairs

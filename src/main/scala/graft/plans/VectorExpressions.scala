@@ -112,13 +112,20 @@ object VectorFunctions {
     * at resolution, like any built-in aggregate. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(
-        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
-      reg.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-      reg.createOrReplaceTempFunction(
-        "graft_topk", exprs => TopKBy.fromExprs(exprs), "built-in")
-    }
+    // Guard each function INDEPENDENTLY: a single graft_dot-only guard
+    // around both registrations leaves a window where a concurrent caller
+    // sees graft_dot present, skips graft_topk, and the registry stays
+    // half-populated forever (UNRESOLVED_ROUTINE on the next graft_topk
+    // plan). Per-function check-then-createOrReplace is race-safe because
+    // createOrReplaceTempFunction itself is idempotent.
+    def ensure(name: String)(
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(
+          new org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("graft_dot")(exprs => DotProduct(exprs(0), exprs(1)))
+    ensure("graft_topk")(exprs => TopKBy.fromExprs(exprs))
   }
 }
 

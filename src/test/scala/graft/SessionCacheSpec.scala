@@ -24,11 +24,25 @@ class SessionCacheSpec extends AnyFunSuite {
     import spark.implicits._
     val before = SessionCache.pinCount
     val src = Seq(1L, 2L, 3L).toDF("x").groupBy().sum("x")
-    val ck = SessionCache.lazyLocalCheckpoint(src)
-    assert(SessionCache.pinCount == before + 1)
+    val ck = SessionCache.lazyLocalCheckpoint("spec-pin-a")(src)
+    // >= rather than ==: pin() sweeps stopped-context entries from the
+    // shared global map, so an exact delta would couple this test to
+    // whatever other suites did with their sessions.
+    assert(SessionCache.pinCount >= before + 1)
     // Lazy: schema is inspectable pre-action; the action then sees the
     // checkpointed result with unchanged semantics.
     assert(ck.columns.sameElements(Array("sum(x)")))
     assert(ck.collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("pin replaces per site tag instead of accumulating per call") {
+    import spark.implicits._
+    val src = Seq(1L).toDF("x")
+    SessionCache.lazyLocalCheckpoint("spec-pin-b")(src)
+    val after1 = SessionCache.pinCount
+    // Re-pinning the SAME site in the same session must not grow the pin
+    // set — a long-lived session holds at most one pinned plan per site.
+    SessionCache.lazyLocalCheckpoint("spec-pin-b")(Seq(2L).toDF("x"))
+    assert(SessionCache.pinCount == after1)
   }
 }
