@@ -67,6 +67,43 @@ class TopKAggSpec extends AnyFunSuite {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("k accepts any foldable integral and rejects the rest at plan time") {
+    graft.plans.VectorFunctions.register(spark)
+    val e = graft.sources.Tables.events(spark, TestSpark.sf0001)
+    // Foldable arithmetic and a BIGINT literal both fold to Int k.
+    val viaArith = e.groupBy("user_id")
+      .agg(expr("graft_topk(value, event_id, 1 + 1)").as("top")).count()
+    val viaBigint = e.groupBy("user_id")
+      .agg(expr("graft_topk(value, event_id, CAST(2 AS BIGINT))").as("top")).count()
+    assert(viaArith == viaBigint)
+    // Non-foldable k (a column) and non-positive k are rejected when the
+    // expression is built — k bounds per-heap state and must be known at
+    // plan time.
+    intercept[Exception] {
+      e.groupBy("user_id")
+        .agg(expr("graft_topk(value, event_id, user_id)").as("top")).count()
+    }
+    intercept[Exception] {
+      e.groupBy("user_id")
+        .agg(expr("graft_topk(value, event_id, 0)").as("top")).count()
+    }
+  }
+
+  test("register() heals a half-populated function registry") {
+    // The round-5 race fix: if graft_dot is present but graft_topk is not
+    // (a concurrent/partial registration), register() must still add the
+    // missing one rather than skipping both behind a graft_dot-only guard.
+    val s2 = spark.newSession()
+    val reg = s2.sessionState.functionRegistry
+    val dot = new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    val topk = new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => graft.plans.DotProduct(exprs(0), exprs(1)), "built-in")
+    assert(reg.functionExists(dot) && !reg.functionExists(topk))
+    graft.plans.VectorFunctions.register(s2)
+    assert(reg.functionExists(dot) && reg.functionExists(topk))
+  }
+
   test("plans as ObjectHashAggregate with a partial stage and no sort") {
     graft.plans.VectorFunctions.register(spark)
     val plan = graft.sources.Tables.read(spark, TestSpark.sf0001, "orders")
