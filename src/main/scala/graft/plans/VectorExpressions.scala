@@ -74,13 +74,25 @@ case class DotProduct(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val lGet = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val rGet = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      // `ev.isNull` may be referenced ONLY when the expression is nullable:
+      // for a statically non-nullable input (e.g. downstream of a
+      // forall()/IsNotNull filter, which strips attribute nullability) Spark
+      // substitutes the `false` LITERAL for ev.isNull in the final code but
+      // the body template has already baked in the variable NAME — which is
+      // then never declared, the generated class fails to compile
+      // ("Expression "isNull_x" is not an rvalue"), and every batch falls
+      // back to the interpreted path. elementsNullable implies nullable
+      // (see `nullable` above), so the two branches below are exhaustive.
+      //
       // The null-element branch is emitted only when the schema says null
       // elements are possible — the common containsNull=false path keeps the
       // tight branch-free loop.
-      val nullCheck =
+      val (nullCheck, assign) =
         if (elementsNullable)
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+          (s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }",
+            s"if (!${ev.isNull}) { ${ev.value} = $s; }")
+        else
+          ("", s"${ev.value} = $s;")
       s"""
          |final int $n = Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
@@ -88,9 +100,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  $nullCheck
          |  $s += $lGet * $rGet;
          |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = $s;
-         |}
+         |$assign
        """.stripMargin
     })
 
