@@ -98,6 +98,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(fd.toSeq == Seq(5.0))
   }
 
+  test("Knn.topK rejects non-positive k at construction") {
+    val v = Seq((1L, Array(1.0f, 0.0f), 1.0)).toDF("id", "e", "nrm")
+    // Inside the operator k=0 would surface as NoSuchElementException on an
+    // empty heap's head in an executor task; the guard fails fast instead.
+    intercept[IllegalArgumentException] {
+      graft.plans.Knn.topK(spark, v, v, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.Knn.topK(spark, v, v, -3)
+    }
+  }
+
+  test("Knn.topK over an empty corpus returns zero rows, not a throw") {
+    val q = Seq((1L, Array(1.0f, 0.0f), 1.0)).toDF("id", "e", "nrm")
+    val none = q.filter(col("id") < 0L)
+    assert(graft.plans.Knn.topK(spark, q, none, 3).count() == 0L)
+    // Empty QUERY side likewise: no heaps, no output.
+    assert(graft.plans.Knn.topK(spark, none, q, 3).count() == 0L)
+    // Self-only corpus: the operator excludes q_id == nb_id, so a corpus
+    // containing only the query itself yields no neighbors.
+    assert(graft.plans.Knn.topK(spark, q, q, 3).count() == 0L)
+  }
+
   test("SemanticDedup.summary on an empty corpus is empty, not a throw") {
     val empty = Seq.empty[(Long, Array[Double], Double)]
       .toDF("vec_id", "e", "nrm")
