@@ -28,6 +28,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Components.connectedComponents(verts, edges).count() == 0L)
   }
 
+  test("connectedComponents: self-loops and dangling edges are no-ops") {
+    // Self-loops add nothing (a vertex is already in its own component);
+    // edges naming vertices absent from the vertex relation are dropped by
+    // the label join rather than conjuring phantom vertices — at scale a
+    // pair list is routinely staler than the document snapshot it joins.
+    val verts = (0L to 3L).toDF("id")
+    val edges = Seq(
+      (0L, 0L),   // self-loop
+      (1L, 2L),   // real edge
+      (3L, 99L),  // dangling dst
+      (98L, 97L)) // both absent
+      .toDF("src", "dst")
+    val comp = Components.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("nearDupPairs: empty and single-doc corpora yield zero pairs") {
     val empty = Seq.empty[(Long, Seq[String])].toDF("doc_id", "toks")
     assert(MinHash.nearDupPairs(empty, "doc_id", "toks", 16, 4, 0.5).count() == 0L)
@@ -42,6 +59,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     val twins = Seq((1L, Seq("x", "y")), (2L, Seq("y", "x")))
       .toDF("doc_id", "toks")
     val pairs = MinHash.nearDupPairs(twins, "doc_id", "toks", 16, 4, 1.0)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("nearDupPairs: empty-token docs pair with each other, never with real docs") {
+    // Zero-token documents are routine at scale (stripped boilerplate,
+    // binary-only rows). Their MinHash signature is all-null (array_min of
+    // an empty array) — this pins that the null-signature rows flow through
+    // banding without a crash, that two empty docs count as identical
+    // (same distinct set, Jaccard 1.0 by convention), and that an empty doc
+    // never pairs with a non-empty one (intersection 0).
+    val docs = Seq(
+      (1L, Seq.empty[String]), (2L, Seq.empty[String]), (3L, Seq("a", "b")))
+      .toDF("doc_id", "toks")
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "toks", 16, 4, 0.5)
       .select("d1", "d2").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L)))
   }
