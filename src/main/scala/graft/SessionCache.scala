@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSession
   * state (function registry, confs), so handing one session's DataFrame to
   * the other would silently bind the wrong state. Distinct sessions that
   * collide on a key simply rebuild (correct, merely un-memoized). Any cache
-  * MISS sweeps entries whose owning context has stopped, so stale values
-  * (in particular lazily-checkpointed DataFrames from dead sessions) cannot
-  * accumulate for the JVM lifetime on a multi-session host.
+  * MISS sweeps entries whose owning context has stopped, and the map keeps
+  * entries for at most [[MaxSessions]] distinct sessions (stalest evicted
+  * first), so stale values (in particular lazily-checkpointed DataFrames
+  * from discarded `newSession()` children whose shared context never
+  * stops) cannot accumulate for the JVM lifetime on a multi-session host.
   *
   * Cache-coherence contract: values are keyed by a caller-chosen tag that
   * embeds the source directory; the test datasets are immutable per path
@@ -33,14 +35,54 @@ object SessionCache {
 
   private val map = new ConcurrentHashMap[(String, String), Entry]()
 
+  /** Cap on DISTINCT sessions holding entries. `sweepStopped` can only
+    * reclaim sessions whose CONTEXT stopped — a session-per-job pattern
+    * over one long-lived SparkContext (`newSession()` per unit of work)
+    * never stops the context, and each discarded session's entries
+    * (memoized table DataFrames, pinned checkpoint plans) would otherwise
+    * accumulate for the JVM lifetime. Beyond the cap, the stalest
+    * sessions' entries are dropped wholesale: evicting a LIVE session's
+    * entries is always safe (values rebuild on next use; a lost pin
+    * degrades to the benign log-ERROR documented on [[pin]], and only if
+    * that session still has task events in flight — vanishingly unlikely
+    * for the least-recently-USED session). */
+  private val MaxSessions = 8
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+  private val lastTouch = new ConcurrentHashMap[String, java.lang.Long]()
+
   private def sessionKey(s: SparkSession): String =
     s.sparkContext.applicationId + "/" + s.sparkContext.startTime + "/" +
       Integer.toHexString(System.identityHashCode(s))
 
-  private def sweepStopped(): Unit = {
+  private def touch(sKey: String): Unit =
+    lastTouch.put(sKey, tick.incrementAndGet())
+
+  /** Drops stopped-context entries, then — if more than [[MaxSessions]]
+    * distinct sessions remain — the stalest sessions' entries (never the
+    * calling session's). */
+  private def sweepStopped(current: String): Unit = {
     val it = map.entrySet().iterator()
     while (it.hasNext)
       if (it.next().getValue.session.sparkContext.isStopped) it.remove()
+    val present = new scala.collection.mutable.HashSet[String]
+    map.keySet().forEach(k => { present += k._1; () })
+    // The caller is about to insert an entry for `current` — count it now
+    // so the map never exceeds MaxSessions distinct sessions after the put.
+    present += current
+    if (present.size > MaxSessions) {
+      val stalest = present.toSeq
+        .filter(_ != current)
+        .sortBy(k => Option(lastTouch.get(k)).map(_.longValue).getOrElse(0L))
+        .take(present.size - MaxSessions)
+        .toSet
+      val it2 = map.keySet().iterator()
+      while (it2.hasNext) if (stalest(it2.next()._1)) it2.remove()
+    }
+    // lastTouch strictly shadows map's session keys — drop orphans so it
+    // cannot outgrow the map it orders.
+    val remaining = new scala.collection.mutable.HashSet[String]
+    map.keySet().forEach(k => { remaining += k._1; () })
+    lastTouch.keySet().removeIf(k => !remaining.contains(k))
   }
 
   /** The memoized value for (session, tag), building (and sweeping dead
@@ -48,12 +90,14 @@ object SessionCache {
     * stopped — or whose entry belongs to a DIFFERENT session object that
     * collided on the key — is rebuilt rather than handed out. */
   def getOrBuild[T <: AnyRef](s: SparkSession, tag: String)(build: => T): T = {
-    val key = (sessionKey(s), tag)
+    val sKey = sessionKey(s)
+    val key = (sKey, tag)
+    touch(sKey)
     val hit = map.get(key)
     if (hit != null && (hit.session eq s) && !hit.session.sparkContext.isStopped)
       hit.value.asInstanceOf[T]
     else {
-      sweepStopped()
+      sweepStopped(sKey)
       val v = build
       map.put(key, Entry(s, v))
       v
@@ -63,10 +107,18 @@ object SessionCache {
   /** Visible for tests: current number of live entries. */
   private[graft] def size: Int = map.size()
 
+  /** Visible for tests: session keys currently holding entries. */
+  private[graft] def sessionKeysForTest: Seq[String] = {
+    val b = Seq.newBuilder[String]
+    map.keySet().forEach(k => { b += k._1; () })
+    b.result()
+  }
+
   /** Pins `value` for the lifetime of `s` under a per-site tag (swept when
-    * the context stops; REPLACED when the same site pins again in the same
-    * session, so a long-lived session holds at most one pinned plan per
-    * site rather than one per query construction).
+    * the context stops; REPLACED when the same site pins the same tag again
+    * in the same session, so a long-lived session holds at most one pinned
+    * plan per (site, input) rather than one per query construction —
+    * [[lazyLocalCheckpoint]] folds the input identity into the tag).
     *
     * Used by [[lazyLocalCheckpoint]] to keep a checkpointed plan's
     * driver-side SQLMetric accumulators strongly reachable: Spark's
@@ -83,8 +135,10 @@ object SessionCache {
     * overlap, the worst case is the original benign log ERROR, not a wrong
     * result. */
   def pin(s: SparkSession, tag: String, value: AnyRef): Unit = {
-    val key = (sessionKey(s), "pin:" + tag)
-    if (map.get(key) == null) sweepStopped()
+    val sKey = sessionKey(s)
+    val key = (sKey, "pin:" + tag)
+    touch(sKey)
+    if (map.get(key) == null) sweepStopped(sKey)
     map.put(key, Entry(s, value))
   }
 
@@ -96,7 +150,17 @@ object SessionCache {
     * goes through here, each under its own site tag. */
   def lazyLocalCheckpoint(tag: String)(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    pin(df.sparkSession, tag, df)
+    // The site tag alone is NOT the pin key: sites whose tag doesn't embed
+    // the source directory (MinHash, SemanticDedup, q122/q129) would let a
+    // second input (ScaleCheck runs src THEN its 10× replica in one
+    // session) evict the first input's pin while that input's
+    // task-completion events could still be in flight. Scoping by the
+    // analyzed plan's semantic hash keeps re-constructions over the SAME
+    // input replacing one pin, while distinct inputs pin separately — the
+    // pin set stays bounded by (sites × distinct inputs), which is the set
+    // correctness needs alive.
+    val h = df.queryExecution.analyzed.semanticHash()
+    pin(df.sparkSession, tag + ":" + h, df)
     df.localCheckpoint(eager = false)
   }
 

@@ -94,6 +94,11 @@ class EdgeCaseSpec extends AnyFunSuite {
   }
 
   test("Ivf.search works when nprobe exceeds the centroid count") {
+    // Register graft_dot up front: the withColumn below analyzes eagerly,
+    // before Ivf.train (which registers it as a side effect) ever runs —
+    // without this the test only passes when an earlier test in the same
+    // session already registered the function.
+    graft.plans.VectorFunctions.register(spark)
     val corpus = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(0.9, 0.1)))
       .toDF("vec_id", "e")

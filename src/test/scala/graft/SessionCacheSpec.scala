@@ -35,14 +35,35 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(ck.collect().map(_.getLong(0)).toSeq == Seq(6L))
   }
 
-  test("pin replaces per site tag instead of accumulating per call") {
+  test("pin replaces per (site, input) instead of accumulating per call") {
     import spark.implicits._
-    val src = Seq(1L).toDF("x")
-    SessionCache.lazyLocalCheckpoint("spec-pin-b")(src)
+    def mk() = Seq(1L).toDF("x").filter($"x" > 0)
+    SessionCache.lazyLocalCheckpoint("spec-pin-b")(mk())
     val after1 = SessionCache.pinCount
-    // Re-pinning the SAME site in the same session must not grow the pin
-    // set — a long-lived session holds at most one pinned plan per site.
-    SessionCache.lazyLocalCheckpoint("spec-pin-b")(Seq(2L).toDF("x"))
+    // Re-pinning the SAME site over a semantically identical plan must not
+    // grow the pin set — a long-lived session re-running one query holds
+    // one pinned plan, not one per construction.
+    SessionCache.lazyLocalCheckpoint("spec-pin-b")(mk())
     assert(SessionCache.pinCount == after1)
+    // A DIFFERENT input at the same site pins SEPARATELY rather than
+    // evicting the first input's plan (whose task events may be in
+    // flight) — ScaleCheck runs src then its 10x replica in one session.
+    SessionCache.lazyLocalCheckpoint("spec-pin-b")(Seq(2L, 3L).toDF("x"))
+    assert(SessionCache.pinCount == after1 + 1)
+  }
+
+  test("entries for discarded newSession() children are bounded") {
+    // Session-per-job over one SparkContext: the context never stops, so
+    // the stopped-context sweep can't reclaim anything — the distinct-
+    // session cap must. 30 discarded sessions x 1 entry each must not
+    // leave 30 sessions' entries (memoized reads pin parquet indexes and
+    // checkpoint plans) in the global map.
+    (1 to 30).foreach { _ =>
+      val child = spark.newSession()
+      Tables.read(child, TestSpark.sf0001, "nation").count()
+    }
+    val sessions = scala.collection.mutable.HashSet[String]()
+    SessionCache.sessionKeysForTest.foreach(sessions += _)
+    assert(sessions.size <= 8, s"distinct sessions in cache: ${sessions.size}")
   }
 }
