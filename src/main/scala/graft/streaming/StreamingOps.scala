@@ -381,11 +381,22 @@ object StreamingOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    // Hadoop FileSystem.rename reports failure via its RETURN VALUE, not an
+    // exception — an unchecked rename (quota, permissions, a concurrent
+    // writer recreating the destination) would let the batch report success
+    // while the sink keeps serving the previous table, and the trailing
+    // backup delete could then drop the only up-to-date copy's parent. A
+    // failed swap must fail the micro-batch loudly so the streaming engine
+    // retries it against the intact on-disk state.
     if (fs.exists(dst)) {
       fs.delete(bak, true)
-      fs.rename(dst, bak)
+      if (!fs.rename(dst, bak))
+        throw new java.io.IOException(
+          s"upsert swap: failed to move current table $dst aside to $bak")
     }
-    fs.rename(tmp, dst)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"upsert swap: failed to move new table $tmp into place at $dst")
     fs.delete(bak, true)
   }
 }

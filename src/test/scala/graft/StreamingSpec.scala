@@ -292,6 +292,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff.isEmpty, "served rows must be the per-user latest")
   }
 
+  test("A7/J10: upsert swap recovers from a crash that left only the .bak") {
+    // upsertBatch's swap moves the current table ASIDE to .bak before
+    // renaming the new data in; a crash between those renames leaves no
+    // target and a .bak holding the authoritative table. A replayed batch
+    // must merge against the backup, not start from empty (silently
+    // forgetting every previously served key).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-serve-crash").toString
+    val target = dir + "/users"
+    Seq((1L, 100L, 10L), (2L, 200L, 10L)).toDF("user_id", "event_id", "us")
+      .write.parquet(target + ".bak")
+    val batch = Seq((2L, 201L, 20L), (3L, 300L, 20L))
+      .toDF("user_id", "event_id", "us")
+    StreamingOps.upsertBatch(batch, target, "user_id", "us", "event_id")
+    val served = spark.read.parquet(target)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(served == Set((1L, 100L), (2L, 201L), (3L, 300L)),
+      "recovered merge must keep backup keys and apply the replayed batch")
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target + ".bak")),
+      "backup must be dropped after a successful swap")
+  }
+
   private def unixMicros(s: String): Long =
     Timestamp.valueOf(s).getTime * 1000L
 
