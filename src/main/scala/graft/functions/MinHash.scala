@@ -77,7 +77,16 @@ object MinHash {
       distinctSets(docs, idCol, tokensCol))
     val sets = grouped.select(col("rep"), col("toks"))
     val sig = sets.withColumn("sig", signature(col("toks"), numHashes))
-    val banded = bands(sig, "sig", numBands).select("rep", "band_hash")
+    // Checkpoint the BANDED stage too: the candidate enumeration below
+    // self-joins it, so without materialization the signature computation —
+    // numHashes interpreted HOF folds per set (Spark HOFs are
+    // CodegenFallback) — runs on BOTH join sides. ProfileQ50 with the
+    // pruning-proof toRdd timing puts the signature stage at ~1.8 s of
+    // q50's sf0.1 profile (the old Dataset.count() timing pruned the very
+    // projection it claimed to time and read 0.3 s); this pin collapses the
+    // two join-side computations to one.
+    val banded = graft.SessionCache.lazyLocalCheckpoint("minhash-bands")(
+      bands(sig, "sig", numBands).select("rep", "band_hash"))
     // Candidate pairs KEEP band duplicates here (a pair colliding in k bands
     // appears k times): deduplicating before the exact confirm means
     // shuffling the full pre-filter candidate volume — measured 8.4 s of

@@ -75,9 +75,14 @@ object SketchQueries {
         val grouped = MinHash.distinctSets(docToks(s, dir), "doc_id", "toks")
         val fp = SimHash.simhashAgg(
           grouped.select(col("rep"), col("toks")), "rep", "toks")
-        val chunks = fp.withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
-          .withColumn("chunk", expr("(sim >> (chunk_id * 16)) & 65535"))
-          .select("rep", "sim", "chunk_id", "chunk")
+        // Checkpoint before the self-join below: both candidate sides would
+        // otherwise re-run the whole fingerprint pipeline (distinct-set
+        // groupBy + the 64-column simhash aggregation) — the same
+        // double-compute the q50 banded checkpoint eliminates.
+        val chunks = graft.SessionCache.lazyLocalCheckpoint("q51-chunks")(
+          fp.withColumn("chunk_id", explode(sequence(lit(0), lit(3))))
+            .withColumn("chunk", expr("(sim >> (chunk_id * 16)) & 65535"))
+            .select("rep", "sim", "chunk_id", "chunk"))
         val cand = chunks.as("x")
           .join(chunks.as("y"), Seq("chunk_id", "chunk"))
           .filter(col("x.rep") < col("y.rep"))

@@ -22,7 +22,10 @@ object ProfileQ50 {
     time("distinctSets count")(grouped.count())
     val sets = grouped.select(col("rep"), col("toks"))
     val sig = sets.withColumn("sig", MinHash.signature(col("toks"), 96))
-    time("signatures")(sig.count())
+    // toRdd.count(): a plain Dataset.count() lets the optimizer PRUNE the
+    // signature projection (nothing downstream consumes it in a count), so
+    // the stage being timed would never run — the ScaleCheck lesson.
+    time("signatures")(sig.queryExecution.toRdd.count())
     val banded = MinHash.bands(sig, "sig", 16).select("rep", "band_hash")
     time("banding")(banded.count())
     val cand = banded.as("x").join(banded.as("y"), Seq("band_hash"))
