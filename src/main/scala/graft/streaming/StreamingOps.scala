@@ -389,7 +389,11 @@ object StreamingOps {
     // failed swap must fail the micro-batch loudly so the streaming engine
     // retries it against the intact on-disk state.
     if (fs.exists(dst)) {
-      fs.delete(bak, true)
+      // delete() also reports failure via its return value; a stale .bak
+      // here makes the next rename fail, so surface the real cause.
+      if (!fs.delete(bak, true) && fs.exists(bak))
+        throw new java.io.IOException(
+          s"upsert swap: failed to clear stale backup $bak")
       if (!fs.rename(dst, bak))
         throw new java.io.IOException(
           s"upsert swap: failed to move current table $dst aside to $bak")
@@ -397,6 +401,13 @@ object StreamingOps {
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(
         s"upsert swap: failed to move new table $tmp into place at $dst")
-    fs.delete(bak, true)
+    // The swap is complete; a surviving .bak is not fatal for THIS batch,
+    // but a silently-kept stale backup would be merged as truth if dst is
+    // later lost out-of-band — so a refused delete must at least be loud.
+    if (!fs.delete(bak, true) && fs.exists(bak))
+      System.err.println(
+        s"[upsertBatch] WARNING: swap succeeded but stale backup $bak " +
+          "could not be deleted; remove it manually or the next crash " +
+          "recovery may merge against stale data")
   }
 }

@@ -16,7 +16,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class ConcurrencySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = TestSpark.sf0001
-  private implicit val ec: ExecutionContext = ExecutionContext.global
+  // A dedicated pool sized to the query count, not ExecutionContext.global:
+  // global's parallelism is the host's core count, so on a small machine
+  // the "concurrent" futures would degrade toward sequential execution and
+  // the spec would exercise less overlap than it claims. One thread per
+  // query guarantees every collect() is in flight at once regardless of
+  // host size (the blocking happens Spark-side, so oversubscription here
+  // costs nothing).
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8))
 
   /** Queries chosen to cover every shared JVM/session-level mechanism:
     * q78+q133 share the cluster cache and the Components checkpoint loop,

@@ -52,6 +52,8 @@ object ProfileQ130 {
     time("A self-join (2)")(variantA().collect())
     time("B collect_list (2)")(variantB().collect())
     println(s"[q130] results equal: ${ra.toSeq == rb.toSeq}")
-    spark.stop()
+    // No spark.stop(): TestSpark.spark is the suite-shared session, and
+    // stopping it here would kill any test running in the same JVM. sbt's
+    // Test/runMain forks, so JVM exit cleans up the session regardless.
   }
 }

@@ -36,6 +36,7 @@ object ProfileQ50 {
     val full = MinHash.nearDupPairs(docs, "doc_id", "toks", 96, 16, 0.8)
     time("full pipeline count")(full.count())
     time("full + orderBy (declared)")(full.orderBy("d1", "d2").count())
-    spark.stop()
+    // No spark.stop(): TestSpark.spark is suite-shared; Test/runMain forks,
+    // so JVM exit cleans up (see ProfileQ130 for the rationale).
   }
 }

@@ -20,6 +20,7 @@ object ProfileQ78 {
       Registry.queries("q78_dedup_clusters")(spark, dir).count()
     }
     sys.env.get("GRAFT_CC_DEBUG").foreach(_ => ())
-    spark.stop()
+    // No spark.stop(): TestSpark.spark is suite-shared; Test/runMain forks,
+    // so JVM exit cleans up (see ProfileQ130 for the rationale).
   }
 }

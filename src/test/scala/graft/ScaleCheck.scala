@@ -117,6 +117,7 @@ object ScaleCheck {
     println(f"[scale] q78_dedup_clusters(cc)  $c1%8.2f $c10%8.2f  ${c10 / c1}%5.1fx" +
       f"  pairs $pairs1%,d -> $pairs10%,d (${pairs10.toDouble / pairs1}%.1fx)" +
       f"  output rows $rows1%,d -> $rows10%,d (${rows10.toDouble / rows1}%.1fx)")
-    spark.stop()
+    // No spark.stop(): TestSpark.spark is suite-shared; Test/runMain forks,
+    // so JVM exit cleans up (see ProfileQ130 for the rationale).
   }
 }

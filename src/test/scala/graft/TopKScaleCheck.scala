@@ -55,6 +55,7 @@ object TopKScaleCheck {
       require(na == nw, s"row count mismatch at $d: agg $na vs window $nw")
       println(f"[topk] $d%-24s rows=$na%9d  graft_topk=$ta%6.2fs  window=$tw%6.2fs  speedup=${tw / ta}%4.1fx")
     }
-    spark.stop()
+    // No spark.stop(): TestSpark.spark is suite-shared; Test/runMain forks,
+    // so JVM exit cleans up (see ProfileQ130 for the rationale).
   }
 }
