@@ -37,11 +37,21 @@ def pct(xs, p):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     bar = 2.0
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--bar"):
-            bar = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                bar = float(a.split("=", 1)[1])
+            else:
+                bar = float(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         sys.exit(1)

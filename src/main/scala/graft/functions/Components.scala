@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * well-partitioned join keyed by vertex id. */
 object Components {
 
+  /** Label tables at or below this vertex count are broadcast into the
+    * per-iteration joins. A (long, long) row is ~16 bytes, so the cap is
+    * ~80 MB of broadcast — the same decision AQE would make from stats,
+    * which it CANNOT make here because every label frame is a checkpointed
+    * LogicalRDD with unknown size (defaultSizeInBytes = huge), so without
+    * the explicit hint each iteration sort-merge-joins the full edge frame
+    * against a table of a few thousand rows (measured 4.0 s of q133's
+    * 5.3 s at sf0.1). Above the cap the shuffle path stands — at
+    * billion-vertex scale broadcasting labels is exactly wrong. */
+  private val BroadcastLabelCap = 5000000L
+
   /** vertices: (id) — one row per vertex; edges: (src, dst) undirected
     * pairs. Returns (id, rep) with rep = min id in the component. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
@@ -30,10 +41,14 @@ object Components {
     // grows exponentially (the classic iterative-DataFrame trap).
     var labels = vertices.select(col("id"), col("id").as("rep"))
       .localCheckpoint()
+    // One count decides the join strategy for the whole loop: the label
+    // table's row count is invariant (one row per vertex, every round).
+    val small = labels.count() <= BroadcastLabelCap
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = und.join(labels.withColumnRenamed("id", "dst2"),
+      val nbrMin = und.join(side(labels.withColumnRenamed("id", "dst2")),
           und("dst") === col("dst2"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("rep")).as("nbr_rep"))
@@ -49,10 +64,16 @@ object Components {
       // from O(diameter) to O(log diameter) shuffle rounds, the difference
       // that matters when a 100 TB graph has long thin components.
       val reps = step1.select(col("id").as("rid"), col("rep").as("rrep"))
-      val step = step1.join(reps, step1("rep") === col("rid"), "left")
+      val step0 = step1.join(side(reps), step1("rep") === col("rid"), "left")
         .select(step1("id"), step1("old_rep"),
           coalesce(col("rrep"), step1("rep")).as("rep"))
-        .localCheckpoint()
+      // Lazy, not eager: the FIRST consumer is the changed-count below,
+      // whose action both materializes the checkpoint and truncates
+      // lineage — one Spark job where the eager form paid two
+      // (materialize, then count). Routed through the pinned helper so
+      // the truncated plan's SQLMetric accumulators stay strongly
+      // reachable (the r4 weak-ref accumulator race — SessionCache.pin).
+      val step = graft.SessionCache.lazyLocalCheckpoint(s"cc-step-$i")(step0)
       val changed = step.filter(col("rep") =!= col("old_rep")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] iter=$i changed=$changed")
