@@ -147,15 +147,27 @@ object SketchJoinQueries {
           .groupBy("sid")
           .agg(expr("transform(sort_array(collect_list(struct(n_sets, sh))), x -> x.sh)")
             .as("oshs"))
+        // posexplode keeps each prefix element's 0-based POSITION in the
+        // rarity order, enabling PPJoin's positional refinement below: at
+        // the FIRST element two sets share, every common element is that
+        // element or later in BOTH lists, so overlap ≤ 1 + min(remaining).
+        // J > 4/5 needs overlap ≥ (4·(|A|+|B|)) DIV 9 + 1 (integer-exact:
+        // 9·inter > 4·(|A|+|B|)); a candidate row failing the bound at a
+        // LATER shared element may be discarded wrongly, but the
+        // first-shared-element row always passes for a true pair and the
+        // distinct() needs only one survivor — completeness is preserved
+        // (and the naive-quadratic oracle proves it round-trip).
         val prefixes = ordered.join(sets.select("sid", "sz"), "sid")
           .withColumn("p", col("sz") - expr("(4 * sz + 4) DIV 5") + 1L)
           .select(col("sid"), col("sz"),
-            explode(expr("slice(oshs, 1, CAST(p AS INT))")).as("sh"))
+            posexplode(expr("slice(oshs, 1, CAST(p AS INT))")).as(Seq("pos", "sh")))
         val cands = prefixes.as("a")
           .join(prefixes.as("b"), col("a.sh") === col("b.sh") &&
             col("a.sid") < col("b.sid") &&
             col("a.sz") * 5L >= col("b.sz") * 4L &&
-            col("b.sz") * 5L >= col("a.sz") * 4L)
+            col("b.sz") * 5L >= col("a.sz") * 4L &&
+            expr("1 + least(a.sz - a.pos - 1, b.sz - b.pos - 1) >= " +
+              "((a.sz + b.sz) * 4) DIV 9 + 1"))
           .select(col("a.sid").as("sid_a"), col("b.sid").as("sid_b"))
           .distinct()
         val side = sets.select(col("sid"), col("shs"), col("sz"))
