@@ -80,15 +80,19 @@ object Bench {
       pairs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val slowest = results.sortBy(-_._2).take(15)
+    // Always carry n_ok/n_failed: round 6's partial total (116 of 134 ran)
+    // was read as a full-suite number because nothing on the line said
+    // otherwise. A partial sum must be impossible to mistake for a full one.
+    val counts = s""","n_ok":${runs.count(_._3)},"n_failed":${failed.size}"""
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
-      w.println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)}$failedJson,"sf":"$sfDir"}""")
+      w.println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)}$counts$failedJson,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(slowest)}$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(slowest)}$counts$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -353,9 +353,7 @@ object RetentionQueries {
       "q124_time_weighted_avg",
       (s, dir) => {
         val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        Tables.events(s, dir)
-          .withColumn("us", unix_micros(col("ts")))
-          .withColumn("cents", round(col("value") * 100).cast("long"))
+        Tables.eventsUs(s, dir)
           .withColumn("next_us", lead(col("us"), 1).over(w))
           .filter(col("next_us").isNotNull)
           .withColumn("dt", col("next_us") - col("us"))

@@ -15,10 +15,9 @@ import org.apache.spark.sql.functions._
   * and are unit-tested (non-oracle). */
 object ServingQueries {
 
+  // Shared in Tables so a fixture dtype change is a one-file edit (round 6).
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    Tables.eventsUs(s, dir)
 
   private val oracleEventsUs =
     """SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

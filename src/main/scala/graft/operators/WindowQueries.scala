@@ -20,11 +20,10 @@ object WindowQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(s, dir, name)
 
-  /** events with epoch-µs `us` and exact integer cents (value has 2dp). */
+  /** events with epoch-µs `us` and exact integer cents (value has 2dp).
+    * Shared in Tables so a fixture dtype change is a one-file edit. */
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+    Tables.eventsUs(s, dir)
 
   private val oracleEventsUs =
     """SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

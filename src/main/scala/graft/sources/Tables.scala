@@ -5,16 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md / FIXTURES.md).
   *
-  * All tables are plain parquet scans except `events`: its `ts` column is
-  * physical parquet TIMESTAMP(NANOS), which Spark 4.1.2 rejects with
-  * PARQUET_TYPE_ILLEGAL unless `spark.sql.legacy.parquet.nanosAsLong` is set.
-  * With the flag, `ts` arrives as nanos-since-epoch LongType and is converted
-  * here to a microsecond timestamp — numerically identical to DuckDB's own
-  * ns→µs truncation of the same column, so oracle queries agree (FIXTURES.md).
-  *
-  * The harness builds the SparkSession without this conf, so it is set here,
-  * per read; the conf is consulted at scan planning time, so setting it right
-  * before `spark.read` is sufficient and does not disturb other scans.
+  * All tables are plain parquet scans except `events`: its `ts` column's
+  * physical encoding is driver-controlled and has already changed once
+  * mid-round (2026-08-13: TIMESTAMP(NANOS) → naive timestamp[us]).
+  * `normalizeEventTs` absorbs every encoding seen so far into one canonical
+  * form — µs-precision `TimestampType` whose epoch value equals DuckDB's
+  * read of the same column — so query code never sees the difference.
+  * `FixtureSchemaSpec` is the canary: a THIRD encoding fails one test with a
+  * pointed message instead of 18 scattered query failures (round-6 lesson).
   */
 object Tables {
   val star: Seq[String] =
@@ -36,30 +34,63 @@ object Tables {
       }
     }
 
-  /** The ONE ts conversion shared by the batch reader and the streaming
-    * replay (StreamingOps.fileReplay): nanos-as-long → µs timestamp. The
-    * lambda parity guarantee (replay ≡ batch) depends on both paths using
-    * this exact expression — never inline a copy.
+  /** The ONE ts normalization shared by the batch reader and the streaming
+    * replay (StreamingOps.fileReplay): the lambda parity guarantee
+    * (replay ≡ batch) depends on both paths using this exact expression —
+    * never inline a copy. Encodings handled:
     *
-    * No-op when `ts` is already a timestamp: re-written copies of the
-    * fixture (e.g. ScaleCheck's 10× replica, user-materialized views) carry
-    * a proper TIMESTAMP column, and only the driver's original
-    * TIMESTAMP(NANOS) parquet arrives as LongType via the nanosAsLong
-    * shim. */
-  def nanosTsToMicros(df: DataFrame): DataFrame =
+    *   - `LongType`: the pre-2026-08-13 fixture was parquet TIMESTAMP(NANOS),
+    *     which Spark 4.1.2 rejects unless
+    *     `spark.sql.legacy.parquet.nanosAsLong` is set (we set it); the
+    *     column then arrives as ns-since-epoch longs → truncate to µs,
+    *     matching DuckDB's own ns→µs truncation.
+    *   - `TimestampNTZType`: the regenerated fixture is naive timestamp[us].
+    *     Cast to `TimestampType` under a UTC session zone (pinned here —
+    *     Verify sets UTC but Bench/user sessions may not, and the cast's
+    *     zone is captured at analysis time), so the naive wall-clock is
+    *     reinterpreted as a UTC instant: epoch µs identical to DuckDB's
+    *     naive read. `unix_micros(ts)` downstream is then zone-independent.
+    *   - `TimestampType`: already canonical (re-materialized copies, e.g.
+    *     ScaleCheck's 10× replica) — pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — the driver fixture " +
+        "changed encoding again. Supported: ns-long (legacy TIMESTAMP(NANOS) " +
+        "via nanosAsLong), TIMESTAMP_NTZ µs, TIMESTAMP. Teach " +
+        "Tables.normalizeEventTs (ONE place) and FixtureSchemaSpec the new " +
+        "encoding.")
     }
 
-  /** Conf key the nanos shim needs (consulted at scan planning time). */
+  /** Conf key the legacy nanos shim needs (consulted at scan planning time;
+    * a no-op against the current µs fixture, kept for back-compat). */
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** `events` with `ts` as a µs-precision timestamp (see object doc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set(NanosAsLongConf, "true")
-    nanosTsToMicros(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** events + epoch-µs `us` + exact integer `cents` — the projection every
+    * event-time query builds on. Round 6: this 2-line derivation was
+    * copy-pasted into five operator files, so the fixture's ts-encoding
+    * change needed five edits and got zero; ONE definition here means the
+    * next change needs one. Memoized like `read` (dozens of queries per
+    * run re-derive it). */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(spark, s"table:$dir/events.us") {
+      events(spark, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+    }
 
 }

@@ -20,27 +20,30 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** Schema of the events table as the file-replay source needs it declared
-    * (ts arrives as TIMESTAMP(NANOS) parquet → read as long nanos, converted
-    * to a proper timestamp column, matching graft.sources.Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Schema the file-replay source declares: derived from the batch footer
+    * read of the SAME file, never hardcoded. Round 6: a literal
+    * `ts: LongType` here survived the fixture's TIMESTAMP(NANOS)→µs regen
+    * and silently mis-declared the column, breaking replay≡batch parity —
+    * deriving keeps one source of truth (Tables.normalizeEventTs then
+    * canonicalizes both paths identically). */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set(graft.sources.Tables.NanosAsLongConf, "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** A5 substitute: streaming replay of the event-log parquet.
     * FileStreamSource requires a DIRECTORY of files (it models an
     * append-only log dir, the file-system analogue of a Kafka topic), so the
     * single test file is staged into a fresh temp dir via symlink. */
   def fileReplay(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set(graft.sources.Tables.NanosAsLongConf, "true")
+    val raw = eventsRawSchema(spark, dir)
     val stage = java.nio.file.Files.createTempDirectory("graft-replay")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     // Shared conversion = the replay-equals-batch parity guarantee.
-    graft.sources.Tables.nanosTsToMicros(
-      spark.readStream.schema(eventsRawSchema).parquet(stage.toString))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(raw).parquet(stage.toString))
   }
 
   /** J1/J4: event-time tumbling window aggregate with late-data drop. */

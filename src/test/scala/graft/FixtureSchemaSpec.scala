@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** INPUT-schema canary (round-6 lesson — see VERDICT.md r6).
+  *
+  * The driver regenerates /root/testdata without notice; round 6's regen
+  * changed `events.ts` from parquet TIMESTAMP(NANOS) to naive timestamp[us]
+  * and the engine found out via 18 dead queries and 42 scattered test
+  * failures. This spec is the ONE loud failure for next time: it pins every
+  * table's raw dtypes at all three SFs, names the encodings the engine
+  * supports where history says drift happens (`events.ts`), and tells the
+  * fixer exactly which file to teach (`Tables.normalizeEventTs`).
+  *
+  * DriverSchemaSpec guards OUTPUT schemas (driver-hashability); this guards
+  * INPUTS. They are different failure modes.
+  */
+class FixtureSchemaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  /** Raw expected schema per table, as spark.read.parquet reports it TODAY
+    * (naive parquet timestamps surface as TIMESTAMP_NTZ in Spark 4). */
+  private val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** Encodings Tables.normalizeEventTs knows how to canonicalize. */
+  private val supportedTs: Set[DataType] =
+    Set(LongType, TimestampNTZType, TimestampType)
+
+  for (dir <- sfDirs) {
+    val sf = dir.split('/').last
+
+    for ((table, want) <- expected.toSeq.sortBy(_._1)) {
+      test(s"$sf/$table raw parquet dtypes unchanged") {
+        val got = spark.read.parquet(s"$dir/$table.parquet")
+          .schema.fields.map(f => f.name -> f.dataType).toSeq
+        assert(got == want,
+          s"FIXTURE DRIFT in $dir/$table.parquet: got " +
+            got.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ") +
+            " want " +
+            want.map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ") +
+            " — the driver regenerated testdata with a new layout. Audit " +
+            "every query reading this table; for timestamp encoding changes " +
+            "teach Tables.normalizeEventTs (ONE place), then update this " +
+            "spec.")
+      }
+    }
+
+    // events is the table with encoding history; assert the CONTRACT
+    // (any supported encoding in, canonical µs TimestampType out) rather
+    // than one frozen dtype, so the legacy ns fixture also passes.
+    test(s"$sf/events.ts raw encoding is one the engine supports") {
+      spark.conf.set(graft.sources.Tables.NanosAsLongConf, "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet").schema
+      assert(raw.fieldNames.toSeq ==
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+        s"FIXTURE DRIFT: events columns changed to ${raw.fieldNames.mkString(",")}")
+      val tsType = raw("ts").dataType
+      assert(supportedTs.contains(tsType),
+        s"FIXTURE DRIFT: events.ts changed encoding to " +
+          s"${tsType.simpleString}; supported encodings are ns-long " +
+          "(legacy TIMESTAMP(NANOS) via nanosAsLong), TIMESTAMP_NTZ (µs), " +
+          "and TIMESTAMP. Teach Tables.normalizeEventTs the new encoding — " +
+          "it is the single conversion point for batch AND streaming replay.")
+    }
+
+    test(s"$sf/events normalizes to µs TimestampType and unix_micros works") {
+      val ev = graft.sources.Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"Tables.events must canonicalize ts to TimestampType, got " +
+          ev.schema("ts").dataType.simpleString)
+      // The exact call that died at analysis time in round 6 — keep it here
+      // so an encoding regression fails in THIS spec, not in 18 queries.
+      val n = ev.selectExpr("unix_micros(ts) AS us")
+        .where("us IS NOT NULL").limit(1).count()
+      assert(n == 1L, "unix_micros(ts) returned no rows")
+    }
+  }
+}
