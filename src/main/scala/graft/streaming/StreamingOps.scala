@@ -25,11 +25,12 @@ object StreamingOps {
     * `ts: LongType` here survived the fixture's TIMESTAMP(NANOS)→µs regen
     * and silently mis-declared the column, breaking replay≡batch parity —
     * deriving keeps one source of truth (Tables.normalizeEventTs then
-    * canonicalizes both paths identically). */
-  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
-    spark.conf.set(graft.sources.Tables.NanosAsLongConf, "true")
-    spark.read.parquet(s"$dir/events.parquet").schema
-  }
+    * canonicalizes both paths identically). The footer read itself is the
+    * memoized `Tables.eventsRaw` relation — repeated `fileReplay` calls in
+    * one session reuse its file index instead of re-listing (round-7
+    * ADVICE). */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType =
+    graft.sources.Tables.eventsRaw(spark, dir).schema
 
   /** A5 substitute: streaming replay of the event-log parquet.
     * FileStreamSource requires a DIRECTORY of files (it models an
