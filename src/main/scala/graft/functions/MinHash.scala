@@ -24,8 +24,22 @@ import org.apache.spark.sql.functions._
 object MinHash {
 
   /** Column: MinHash signature (array<bigint>, length numHashes) from a
-    * distinct-token array column. Pure built-ins → whole-stage codegen. */
-  def signature(tokens: Column, numHashes: Int): Column = {
+    * distinct-token array column. A custom codegen'd expression
+    * ([[graft.plans.MinHashSignature]]): the original pure-built-in
+    * formulation (`array(array_min(transform(toks, t -> xxhash64(t, i))))`
+    * per seed) was CodegenFallback through the HOFs AND re-hashed every
+    * token string numHashes times; the fused expression hashes each string
+    * once and produces a byte-identical signature (equivalence pinned by
+    * SketchSpec). */
+  def signature(tokens: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      graft.plans.MinHashSignature(
+        org.apache.spark.sql.GraftSqlShim.expression(tokens), numHashes))
+
+  /** The pre-round-8 built-in formulation, kept as the equivalence oracle
+    * for [[signature]]'s custom expression (and as documentation of the
+    * exact chained-hash semantics being reproduced). */
+  private[graft] def signatureBuiltin(tokens: Column, numHashes: Int): Column = {
     val sigs = (0 until numHashes).map { i =>
       array_min(transform(tokens, t => xxhash64(t, lit(i))))
     }

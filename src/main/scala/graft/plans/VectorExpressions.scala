@@ -136,6 +136,14 @@ object VectorFunctions {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     ensure("graft_dot")(exprs => DotProduct(exprs(0), exprs(1)))
     ensure("graft_topk")(exprs => TopKBy.fromExprs(exprs))
+    ensure("graft_minhash")(exprs => exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType) =>
+        MinHashSignature(exprs(0), n)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash(tokens, numHashes): numHashes must be an int " +
+          s"literal, got $other")
+    })
   }
 }
 

@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ↔ catalyst Expression bridges (Spark 4 removed the public
+    * Column(expr) constructor; `classic.ExpressionUtils` is the supported
+    * internal path). Lets library code wrap a custom Expression as a
+    * user-facing Column without a function-registry round-trip. */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

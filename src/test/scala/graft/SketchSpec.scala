@@ -26,6 +26,38 @@ class SketchSpec extends AnyFunSuite {
       .select("d1", "d2")
   }
 
+  test("graft_minhash equals the built-in xxhash64 formulation byte-for-byte") {
+    // The custom codegen'd MinHashSignature must reproduce the chained
+    // xxhash64 semantics EXACTLY — real corpus plus the edges that have
+    // distinct semantics: empty array (all-null sig), null element
+    // (contributes hashInt(i, 42)), unicode, duplicate tokens.
+    val edges = Seq(
+      (9001L, Seq.empty[String]),
+      (9002L, Seq("")),
+      (9003L, Seq("a", null, "b")),
+      (9004L, Seq("héllo", "wörld", "héllo")),
+      (9005L, Seq("é中文", "x"))
+    ).toDF("doc_id", "toks")
+    val both = toks.unionByName(edges)
+      .withColumn("fused", MinHash.signature(col("toks"), 96))
+      .withColumn("builtin", MinHash.signatureBuiltin(col("toks"), 96))
+    val mismatches = both
+      .filter(not(col("fused") <=> col("builtin")))
+      .count()
+    assert(mismatches == 0L,
+      s"$mismatches rows where graft_minhash differs from the built-in " +
+        "formulation — the fused expression drifted from xxhash64 semantics")
+    // And it must actually participate in whole-stage codegen (the whole
+    // point): the projection over the fused column contains a
+    // WholeStageCodegen span covering the project.
+    // `*(n)` is the whole-stage-codegen marker in executedPlan.toString.
+    val plan = toks.withColumn("sig", MinHash.signature(col("toks"), 96))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_minhash") && l.trim.startsWith("*(")),
+      s"graft_minhash projection fell out of whole-stage codegen:\n$plan")
+  }
+
   test("I2: MinHash/LSH near-dup pairs have perfect precision and high recall") {
     val lsh = MinHash.nearDupPairs(toks, "doc_id", "toks", 96, 16, 0.8)
       .select("d1", "d2").cache()
