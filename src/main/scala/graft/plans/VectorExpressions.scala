@@ -167,5 +167,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TopKBy].getCanonicalName, "graft_topk"),
       (exprs: Seq[Expression]) => TopKBy.fromExprs(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSignature].getCanonicalName, "graft_minhash"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          MinHashSignature(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(tokens, numHashes): numHashes must be an int " +
+            s"literal, got $other")
+      }))
   }
 }

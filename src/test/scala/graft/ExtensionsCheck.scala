@@ -17,7 +17,12 @@ object ExtensionsCheck {
       .selectExpr("sum(graft_dot(embedding, embedding)) AS s")
       .collect().head.getDouble(0)
     assert(d > 0, s"unexpected sum $d")
-    println(s"EXTENSIONS OK graft_dot sum=$d")
+    val nSig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("graft_minhash(array_distinct(split(text, ' ')), 8) AS sig")
+      .selectExpr("count(distinct sig) AS n")
+      .collect().head.getLong(0)
+    assert(nSig > 1, s"graft_minhash produced $nSig distinct signatures")
+    println(s"EXTENSIONS OK graft_dot sum=$d graft_minhash distinct=$nSig")
     spark.stop()
   }
 }
