@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /** MinHash signatures + LSH banding for near-duplicate detection at scale
   * (SURVEY §2 I2, §7.5).
   *
-  * The signature is built entirely from codegen'd built-ins: for seed i,
-  * h_i(doc) = min over tokens of xxhash64(token, i). Banding groups rows of
+  * The signature is h_i(doc) = min over tokens of xxhash64(token, i),
+  * computed by the custom codegen'd [[graft.plans.MinHashSignature]]
+  * expression (one string hash per token; round 8 — the pure-built-in
+  * formulation it byte-identically replaces is kept as
+  * [[signatureBuiltin]]). Banding groups rows of
   * the signature into `bands` buckets; two documents sharing any band hash
   * become a candidate pair. With sig length n = bands * rowsPerBand, the
   * probability a pair with Jaccard j becomes a candidate is
