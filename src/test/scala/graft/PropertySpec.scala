@@ -40,6 +40,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("graft_minhash equals the built-in formulation on random token arrays") {
+    // Complements SketchSpec's corpus+edges equivalence with generated
+    // inputs: arbitrary unicode-ish strings, duplicates, varying lengths.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val arrGen = Gen.listOfN(40,
+      Gen.choose(0, 24).flatMap(n => Gen.stringOfN(n,
+        Gen.frequency(8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('é', '中', '∂', ' ')))))
+    val rows = Gen.listOfN(60, arrGen).sample.get
+    val df = rows.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      .toDF("id", "toks")
+    val n = df
+      .withColumn("fused", graft.functions.MinHash.signature(col("toks"), 24))
+      .withColumn("builtin",
+        graft.functions.MinHash.signatureBuiltin(col("toks"), 24))
+      .filter(org.apache.spark.sql.functions.not(col("fused") <=> col("builtin")))
+      .count()
+    assert(n == 0L, s"$n generated rows disagree between graft_minhash and " +
+      "the built-in xxhash64 formulation")
+  }
+
   test("MinHash signature equality follows set equality") {
     check(forAll(tokenGen) { x =>
       val agg = new MinHashAggregator(8)
