@@ -76,17 +76,14 @@ object DataloaderQueries {
       (s, dir) => {
         val base = docs(s, dir).withColumn("toks", split(col("text"), " "))
         val pos = base
-          .select(col("doc_id"), explode(
-            when(size(col("toks")) >= 3,
-              expr("""transform(sequence(1, size(toks) - 2),
-                      i -> struct(CAST(i AS BIGINT) AS pos,
-                                  concat_ws(' ', element_at(toks, i),
-                                            element_at(toks, i + 1),
-                                            element_at(toks, i + 2)) AS sh))"""))
-              .otherwise(expr(
-                "CAST(array() AS ARRAY<STRUCT<pos: BIGINT, sh: STRING>>)")))
-            .as("p"))
-          .select(col("doc_id"), col("p.pos").as("pos"), col("p.sh").as("sh"))
+          // posexplode over the codegen'd shingle array (plans/GramShingles,
+          // round 8) replaces the struct-building HOF: posexplode's 0-based
+          // ordinal + 1 IS the old 1-based pos, and the expression is total
+          // on short arrays (empty → no rows), subsuming the size>=3 guard.
+          .select(col("doc_id"),
+            posexplode(graft.plans.GramShingles.shingles(col("toks"), 3)))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+            col("col").as("sh"))
         val docFreq = pos.select("doc_id", "sh").distinct()
           .groupBy("sh").agg(count(lit(1)).as("df"))
         val dupPos = pos.join(docFreq, Seq("sh")).filter(col("df") >= 2)

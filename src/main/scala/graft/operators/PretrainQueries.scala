@@ -449,13 +449,13 @@ object PretrainQueries {
         val dfThreshold = 10
         val base = docs(s, dir).withColumn("toks", split(col("text"), " "))
         val pairs = base
-          .select(col("doc_id"), explode(
-            when(size(col("toks")) >= 3,
-              expr("""transform(sequence(1, size(toks) - 2),
-                      i -> concat_ws(' ', element_at(toks, i),
-                                     element_at(toks, i + 1),
-                                     element_at(toks, i + 2)))"""))
-              .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))).as("shingle"))
+          // Codegen'd shingling (plans/GramShingles, round 8): total on
+          // short arrays (empty result), so the old size>=3 guard — needed
+          // because sequence(1, 0) DESCENDS — is subsumed; explode of the
+          // empty array drops the row either way.
+          .select(col("doc_id"),
+            explode(graft.plans.GramShingles.shingles(col("toks"), 3))
+              .as("shingle"))
           .distinct()
         val docFreq = pairs.groupBy("shingle")
           .agg(count(lit(1)).as("df"))

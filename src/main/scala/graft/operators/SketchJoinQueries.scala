@@ -117,10 +117,11 @@ object SketchJoinQueries {
         val sets = Tables.read(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), expr(
-            """sort_array(array_distinct(transform(sequence(1, size(toks) - 2),
-               i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-                              element_at(toks, i + 2)))))""").as("shs"))
+          .select(col("doc_id"), sort_array(array_distinct(
+            // Codegen'd shingling (plans/GramShingles) — byte-identical to
+            // the transform(sequence...)+concat_ws HOF form it replaced
+            // (round 8; equivalence pinned in SketchSpec).
+            graft.plans.GramShingles.shingles(col("toks"), 3))).as("shs"))
           .groupBy("shs").agg(min(col("doc_id")).as("sid"))
           .withColumn("sz", size(col("shs")).cast("long"))
           // Materialize ONCE: five consumers below (df, ordered, the

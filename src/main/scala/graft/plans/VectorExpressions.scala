@@ -144,6 +144,13 @@ object VectorFunctions {
         s"graft_minhash(tokens, numHashes): numHashes must be an int " +
           s"literal, got $other")
     })
+    ensure("graft_shingles")(exprs => exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+          org.apache.spark.sql.types.IntegerType) =>
+        GramShingles(exprs(0), n)
+      case other => throw new IllegalArgumentException(
+        s"graft_shingles(tokens, n): n must be an int literal, got $other")
+    })
   }
 }
 
@@ -178,6 +185,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         case other => throw new IllegalArgumentException(
           s"graft_minhash(tokens, numHashes): numHashes must be an int " +
             s"literal, got $other")
+      }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GramShingles].getCanonicalName, "graft_shingles"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          GramShingles(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles(tokens, n): n must be an int literal, got $other")
       }))
   }
 }

@@ -58,6 +58,35 @@ class SketchSpec extends AnyFunSuite {
       s"graft_minhash projection fell out of whole-stage codegen:\n$plan")
   }
 
+  test("graft_shingles equals the transform+concat_ws formulation byte-for-byte") {
+    // Includes the size<3 edge (built-in needs a guard because
+    // sequence(1, 0) descends; the fused expression is total) and
+    // concat_ws's skip-null semantics.
+    val edges = Seq(
+      (9001L, Seq.empty[String]), (9002L, Seq("one")), (9003L, Seq("a", "b")),
+      (9004L, Seq("a", null, "c", "d")), (9005L, Seq("é中", "x", "y", "", "z"))
+    ).toDF("doc_id", "toks")
+    val both = toks.unionByName(edges)
+      .withColumn("fused", graft.plans.GramShingles.shingles(col("toks"), 3))
+      .withColumn("builtin",
+        when(size(col("toks")) >= 3,
+          expr("""transform(sequence(1, size(toks) - 2),
+                  i -> concat_ws(' ', element_at(toks, i),
+                                 element_at(toks, i + 1),
+                                 element_at(toks, i + 2)))"""))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+    val mismatches = both.filter(not(col("fused") <=> col("builtin"))).count()
+    assert(mismatches == 0L,
+      s"$mismatches rows where graft_shingles differs from the built-in " +
+        "formulation")
+    val plan = toks.withColumn("shs",
+        graft.plans.GramShingles.shingles(col("toks"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("graft_shingles") && l.trim.startsWith("*(")),
+      s"graft_shingles projection fell out of whole-stage codegen:\n$plan")
+  }
+
   test("I2: MinHash/LSH near-dup pairs have perfect precision and high recall") {
     val lsh = MinHash.nearDupPairs(toks, "doc_id", "toks", 96, 16, 0.8)
       .select("d1", "d2").cache()
