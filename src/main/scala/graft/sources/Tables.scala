@@ -83,11 +83,30 @@ object Tables {
     * `events` because the streaming replay (StreamingOps.fileReplay) needs
     * this raw schema to declare its source, and an un-memoized footer read
     * per `fileReplay` call was a repeated eager directory-list+footer cost
-    * (round-7 ADVICE). */
+    * (round-7 ADVICE).
+    *
+    * The legacy-nanos shim conf is scoped to the footer read and restored
+    * (round-8 ADVICE — same class of read side effect as the r7 timeZone
+    * finding: a user session that deliberately set it false was getting it
+    * silently flipped, and only on cache miss). ONE documented exception:
+    * when the footer genuinely declares TIMESTAMP(NANOS) — `ts` arrives as
+    * LongType — the flag must STAY set, because the scan re-consults it at
+    * execution time; reading a legacy fixture is the only path that
+    * mutates session conf, and FixtureSchemaSpec pins that the current µs
+    * fixture leaves the conf untouched. */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(spark, s"table:$dir/events.raw") {
+      val prev = spark.conf.getOption(NanosAsLongConf)
+      def restore(): Unit = prev match {
+        case Some(v) => spark.conf.set(NanosAsLongConf, v)
+        case None    => spark.conf.unset(NanosAsLongConf)
+      }
       spark.conf.set(NanosAsLongConf, "true")
-      spark.read.parquet(s"$dir/events.parquet")
+      val df = try spark.read.parquet(s"$dir/events.parquet")
+        catch { case t: Throwable => restore(); throw t }
+      if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        restore()
+      df
     }
 
   /** `events` with `ts` as a µs-precision timestamp (see object doc). */

