@@ -32,33 +32,47 @@ object Components {
       maxIter: Int = 20): DataFrame = {
     // Materialize the (possibly expensive) edge pipeline ONCE — the loop
     // re-reads it every iteration.
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def seg[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (debug) System.err.println(
+        f"[cc] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
     val und = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    und.count()
+    seg("und materialize")(und.count())
     // localCheckpoint per iteration truncates lineage AND the logical plan —
     // without it every iteration nests the previous plan and analysis time
-    // grows exponentially (the classic iterative-DataFrame trap).
-    var labels = vertices.select(col("id"), col("id").as("rep"))
-      .localCheckpoint()
+    // grows exponentially (the classic iterative-DataFrame trap). Lazy
+    // (pinned): the count() below is the materializing action — the eager
+    // form paid a separate job first (round-9 job-count shave).
+    var labels = graft.SessionCache.lazyLocalCheckpoint("cc-labels-init")(
+      vertices.select(col("id"), col("id").as("rep")))
     // One count decides the join strategy for the whole loop: the label
     // table's row count is invariant (one row per vertex, every round).
-    val small = labels.count() <= BroadcastLabelCap
+    val small = seg("labels init")(labels.count()) <= BroadcastLabelCap
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val tIter = System.nanoTime()
       val nbrMin = und.join(side(labels.withColumnRenamed("id", "dst2")),
           und("dst") === col("dst2"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("rep")).as("nbr_rep"))
       // Checkpoint before the self-join below — step1 feeds BOTH sides of
       // the pointer jump, and without materialization the neighbor-min
-      // join/aggregate subtree would execute twice per iteration.
-      val step1 = labels.join(nbrMin, labels("id") === col("id2"), "left")
-        .select(col("id"), col("rep").as("old_rep"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep"))
-        .localCheckpoint()
+      // join/aggregate subtree would execute twice per iteration. Lazy
+      // (pinned): the iteration's changed-count action materializes it and
+      // both pointer-jump sides read the persisted blocks (the MinHash
+      // banded-frame pattern) — one job per iteration where the eager form
+      // paid two (measured 3.4 → 2.1 s on the q133 loop at sf0.1).
+      val step1 = graft.SessionCache.lazyLocalCheckpoint(s"cc-step1-$i")(
+        labels.join(nbrMin, labels("id") === col("id2"), "left")
+          .select(col("id"), col("rep").as("old_rep"),
+            least(col("rep"), coalesce(col("nbr_rep"), col("rep"))).as("rep")))
       // Pointer jumping: rep <- rep(rep). Labels are always vertex ids, so
       // each round also contracts label chains by one hop — convergence goes
       // from O(diameter) to O(log diameter) shuffle rounds, the difference
@@ -74,9 +88,12 @@ object Components {
       // the truncated plan's SQLMetric accumulators stay strongly
       // reachable (the r4 weak-ref accumulator race — SessionCache.pin).
       val step = graft.SessionCache.lazyLocalCheckpoint(s"cc-step-$i")(step0)
+      val t0 = System.nanoTime()
       val changed = step.filter(col("rep") =!= col("old_rep")).count()
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] iter=$i changed=$changed")
+      if (debug)
+        System.err.println(s"[cc] iter=$i changed=$changed " +
+          f"action=${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          f"iter_total=${(System.nanoTime() - tIter) / 1e9}%.2fs")
       labels = step.select("id", "rep")
       converged = changed == 0
       i += 1

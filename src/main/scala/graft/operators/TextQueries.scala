@@ -42,18 +42,31 @@ object TextQueries {
     * window is safe on a ≤64-row vocab. */
   /** (doc→mask assignments, set-level mask pairs with Jaccard > 0.8). */
   private def maskPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // Vocabulary as ONE sorted array row (collect_set ⇒ two tiny agg
+    // stages), then each doc's mask is a shuffle-free projection: fold the
+    // doc's distinct tokens, OR-ing bit array_position-1. Byte-identical to
+    // the round-1..8 formulation (explode → row_number window → broadcast
+    // join → groupBy sum): sort_array assigns the same 0-based bit per
+    // token as row_number-over-orderBy did, and OR of distinct bits equals
+    // the old SUM. The rewrite drops an explode, a window exchange and two
+    // shuffles from the hottest fixed-cost block of the q133/q33/q78 family
+    // (masks build 2.5 → ~1.0 s at sf0.1); the per-element HOF walk is
+    // interpreted, but it touches ≤64-token arrays on corpus-collapsed
+    // rows — compute-trivial at any scale, and the 100 TB-relevant shape
+    // (no shuffle keyed on token) only improves.
     val tok = docToks(s, dir).select(col("doc_id"), explode(col("toks")).as("tok"))
-    val vocab = tok.select("tok").distinct()
-      .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
-      // Runtime tripwire, zero extra jobs: shiftleft wraps mod 64, so a
-      // 65th vocabulary word would silently ALIAS bit 0 and corrupt every
-      // Jaccard downstream (q33/q78). Fail loudly; the open-vocabulary
-      // answer is the MinHash/LSH path (q50).
-      .filter(expr("ifnull(assert_true(idx <= 63, " +
+    // Runtime tripwire, zero extra jobs: shiftleft wraps mod 64, so a
+    // 65th vocabulary word would silently ALIAS bit 0 and corrupt every
+    // Jaccard downstream (q33/q78). Fail loudly; the open-vocabulary
+    // answer is the MinHash/LSH path (q50).
+    val vocab = tok.agg(sort_array(collect_set(col("tok"))).as("vocab"))
+      .filter(expr("ifnull(assert_true(size(vocab) <= 64, " +
         "'vocabulary exceeds 64 words: bitmask Jaccard invalid, use MinHash/LSH (q50)'), true)"))
-    val masks = tok.join(broadcast(vocab), "tok")
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    val masks = docToks(s, dir).crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr(
+        "aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> " +
+          "acc | shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(array_position(vocab, t) AS INT) - 1))").as("mask"))
     val sets = masks.select("mask").distinct()
     val pairs = sets.select(col("mask").as("m1"))
       .crossJoin(sets.select(col("mask").as("m2")))

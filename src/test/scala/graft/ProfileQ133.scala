@@ -27,14 +27,15 @@ object ProfileQ133 {
     val docsDf = graft.sources.Tables.read(spark, dir, "documents")
     docsDf.count() // warm scan
 
-    val tok = docsDf
+    val docToks = docsDf
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val vocab = tok.select("tok").distinct()
-      .withColumn("idx", row_number().over(Window.orderBy("tok")) - 1)
-    val masks0 = tok.join(broadcast(vocab), "tok")
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    val vocab = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .agg(sort_array(collect_set(col("tok"))).as("vocab"))
+    val masks0 = docToks.crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr(
+        "aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> " +
+          "acc | shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(array_position(vocab, t) AS INT) - 1))").as("mask"))
     val masks = time("masks build+checkpoint")(masks0.localCheckpoint())
     val sets = masks.select("mask").distinct()
     val pairs0 = sets.select(col("mask").as("m1"))
