@@ -68,7 +68,11 @@ object Components {
       // (pinned): the iteration's changed-count action materializes it and
       // both pointer-jump sides read the persisted blocks (the MinHash
       // banded-frame pattern) — one job per iteration where the eager form
-      // paid two (measured 3.4 → 2.1 s on the q133 loop at sf0.1).
+      // paid two. Round-9 measurement honesty: this did NOT move the q133
+      // loop's wall time (still ~3.4 s at sf0.1) — the actions are ~0.1 s
+      // each and the loop is bound by per-iteration plan construction on
+      // the driver (~0.5 s × 4 rounds), which fewer jobs don't touch. Kept
+      // because fewer jobs is strictly less scheduler work at any scale.
       val step1 = graft.SessionCache.lazyLocalCheckpoint(s"cc-step1-$i")(
         labels.join(nbrMin, labels("id") === col("id2"), "left")
           .select(col("id"), col("rep").as("old_rep"),
