@@ -58,10 +58,18 @@ object Components {
     var i = 0
     while (!converged && i < maxIter) {
       val tIter = System.nanoTime()
-      val nbrMin = und.join(side(labels.withColumnRenamed("id", "dst2")),
-          und("dst") === col("dst2"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("rep")).as("nbr_rep"))
+      // Round 0 reads identity labels (rep ≡ id), so its neighbor-min needs
+      // no label join at all: min(rep(dst)) ≡ min(dst). One broadcast join
+      // fewer in the round-0 plan — driver plan construction is this loop's
+      // measured bound (actions are ~0.1 s), so every join dropped from a
+      // round's plan is wall time.
+      val nbrMin = (if (i == 0)
+          und.groupBy(col("src").as("id2")).agg(min(col("dst")).as("nbr_rep"))
+        else
+          und.join(side(labels.withColumnRenamed("id", "dst2")),
+              und("dst") === col("dst2"))
+            .groupBy(col("src").as("id2"))
+            .agg(min(col("rep")).as("nbr_rep")))
       // Checkpoint before the self-join below — step1 feeds BOTH sides of
       // the pointer jump, and without materialization the neighbor-min
       // join/aggregate subtree would execute twice per iteration. Lazy
@@ -92,14 +100,51 @@ object Components {
       // the truncated plan's SQLMetric accumulators stay strongly
       // reachable (the r4 weak-ref accumulator race — SessionCache.pin).
       val step = graft.SessionCache.lazyLocalCheckpoint(s"cc-step-$i")(step0)
+      // Convergence certificate fused into the SAME action as the changed
+      // count (round-10, VERDICT r9 #3): a labeling is a fixpoint iff no
+      // edge joins two different reps. viol == 0 on the NEW labels implies
+      // every component's labels are constant (any violating edge (u,v)
+      // with rep(u) > rep(v) forces nbrMin(u) < rep(u), so no violations ⇒
+      // no next-round change; and component-constant labels satisfy
+      // rep(rep) = rep, so the jump is a no-op too). The loop therefore
+      // exits in the round that REACHES the fixpoint instead of running one
+      // more full round just to observe changed == 0 — 3 rounds instead of
+      // 4 on the sf0.1 dedup graph (changed = [2583, 1341, 6], viol hits 0
+      // alongside the 6) — at the cost of two broadcast joins against the
+      // cached edge frame inside the existing per-round action. `changed`
+      // is retained for the debug trace only. Round 0 skips the certificate:
+      // a freshly-seeded labeling is never a fixpoint on a non-trivial graph
+      // (and on an edge-free graph round 0's changed == 0 exit fires), so
+      // paying the certificate's edge scan there was pure waste — measured
+      // ~0.4 s of the round-0 action.
       val t0 = System.nanoTime()
-      val changed = step.filter(col("rep") =!= col("old_rep")).count()
+      val (changed, violCnt) =
+        if (i == 0) {
+          val c = step.filter(col("rep") =!= col("old_rep")).count()
+          (c, if (c == 0) 0L else -1L)
+        } else {
+          val lab = step.select(col("id"), col("rep"))
+          val viol = und
+            .join(side(lab.select(col("id").as("sid"), col("rep").as("srep"))),
+              und("src") === col("sid"))
+            .join(side(lab.select(col("id").as("did"), col("rep").as("drep"))),
+              und("dst") === col("did"))
+            .filter(col("srep") =!= col("drep"))
+          val row = step
+            .select((col("rep") =!= col("old_rep")).cast("long").as("c"),
+              lit(0L).as("v"))
+            .unionAll(viol.select(lit(0L).as("c"), lit(1L).as("v")))
+            .agg(coalesce(sum(col("c")), lit(0L)).as("c"),
+              coalesce(sum(col("v")), lit(0L)).as("v"))
+            .head()
+          (row.getLong(0), row.getLong(1))
+        }
       if (debug)
-        System.err.println(s"[cc] iter=$i changed=$changed " +
+        System.err.println(s"[cc] iter=$i changed=$changed viol=$violCnt " +
           f"action=${(System.nanoTime() - t0) / 1e9}%.2fs " +
           f"iter_total=${(System.nanoTime() - tIter) / 1e9}%.2fs")
       labels = step.select("id", "rep")
-      converged = changed == 0
+      converged = violCnt == 0L
       i += 1
     }
     und.unpersist()

@@ -104,15 +104,24 @@ object TextQueries {
     val (masks0, pairs0) = maskPairs(s, dir)
     val masks = graft.SessionCache.lazyLocalCheckpoint(s"dedup-masks:$dir")(masks0)
     val pairs = graft.SessionCache.lazyLocalCheckpoint(s"dedup-pairs:$dir")(pairs0)
+    // setRep/comp are per-DISTINCT-SET relations. Explicit broadcast: their
+    // inputs are checkpointed LogicalRDDs with unknown stats, so without the
+    // hint each join plans as a sort-merge over the 511 k-row pair frame
+    // (measured ~0.7 s of the und materialization alone). The broadcast is
+    // scale-safe by construction: the pairs stage upstream is all-pairs over
+    // distinct sets, which already constrains set cardinality far more
+    // tightly than the ~80 MB broadcast ceiling does — if the set count ever
+    // outgrew a broadcast, the cross join would have been the casualty first
+    // (and the open-vocabulary answer is the MinHash path, q50).
     val setRep = masks.groupBy("mask").agg(min(col("doc_id")).as("srep"))
-    val docSet = masks.join(setRep, "mask").select("doc_id", "srep")
+    val docSet = masks.join(broadcast(setRep), "mask").select("doc_id", "srep")
     val edges = pairs
-      .join(setRep.select(col("mask").as("m1"), col("srep").as("src")), "m1")
-      .join(setRep.select(col("mask").as("m2"), col("srep").as("dst")), "m2")
+      .join(broadcast(setRep.select(col("mask").as("m1"), col("srep").as("src"))), "m1")
+      .join(broadcast(setRep.select(col("mask").as("m2"), col("srep").as("dst"))), "m2")
       .select("src", "dst")
     val verts = setRep.select(col("srep").as("id"))
     val comp = graft.functions.Components.connectedComponents(verts, edges)
-    docSet.join(comp, docSet("srep") === comp("id"))
+    docSet.join(broadcast(comp), docSet("srep") === comp("id"))
       .select(col("doc_id"), col("rep").as("cluster_rep"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
