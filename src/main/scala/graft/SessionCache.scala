@@ -104,6 +104,21 @@ object SessionCache {
     }
   }
 
+  /** Drops every memoized value owned by `s`, keeping pins. Used by
+    * Bench's outlier retry: the committed band measured each query's
+    * first-touch work (q133's clustering build, q86's IVF training, table
+    * footer reads), so a retry riding the session cache would understate
+    * against the band — the opposite failure of the host noise the retry
+    * exists to remove. Pins are retained: they exist solely to keep
+    * already-executed plans' accumulators strongly reachable (see [[pin]]),
+    * and dropping them for a live session buys nothing except the r4
+    * log-ERROR race. */
+  def invalidateMemoized(s: SparkSession): Unit = {
+    val sKey = sessionKey(s)
+    map.keySet().removeIf(k => k._1 == sKey && !k._2.startsWith("pin:"))
+    ()
+  }
+
   /** Visible for tests: current number of live entries. */
   private[graft] def size: Int = map.size()
 

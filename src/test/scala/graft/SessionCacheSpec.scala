@@ -35,6 +35,26 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(ck.collect().map(_.getLong(0)).toSeq == Seq(6L))
   }
 
+  test("invalidateMemoized drops values but keeps pins (bench retry contract)") {
+    import spark.implicits._
+    var builds = 0
+    def build() = { builds += 1; Tables.read(spark, TestSpark.sf0001, "nation") }
+    val a = SessionCache.getOrBuild(spark, "spec-invalidate-a")(build())
+    assert(SessionCache.getOrBuild(spark, "spec-invalidate-a")(build()) eq a)
+    assert(builds === 1)
+    val pinsBefore = {
+      val src = Seq(1L).toDF("x").groupBy().sum("x")
+      SessionCache.lazyLocalCheckpoint("spec-invalidate-pin")(src)
+      SessionCache.pinCount
+    }
+    SessionCache.invalidateMemoized(spark)
+    // Memoized value gone → rebuild on next ask; pins untouched.
+    val b = SessionCache.getOrBuild(spark, "spec-invalidate-a")(build())
+    assert(builds === 2)
+    assert(!(b eq null))
+    assert(SessionCache.pinCount === pinsBefore)
+  }
+
   test("pin replaces per (site, input) instead of accumulating per call") {
     import spark.implicits._
     def mk() = Seq(1L).toDF("x").filter($"x" > 0)
