@@ -48,7 +48,13 @@ object TextQueries {
     // the round-1..8 formulation (explode → row_number window → broadcast
     // join → groupBy sum): sort_array assigns the same 0-based bit per
     // token as row_number-over-orderBy did, and OR of distinct bits equals
-    // the old SUM. The rewrite drops an explode, a window exchange and two
+    // the old SUM. The filter(size > 0) keeps that equivalence exact for
+    // ANY input, not just split()-derived fixtures: the old explode path
+    // DROPPED empty/null-toks docs (nothing to explode), where the fold
+    // alone would emit a 0/NULL mask row (round-9 ADVICE). Null ELEMENTS
+    // inside toks remain out of contract — split() never produces them,
+    // and PropertySpec pins the equivalence on generated corpora including
+    // empty docs. The rewrite drops an explode, a window exchange and two
     // shuffles from the hottest fixed-cost block of the q133/q33/q78 family
     // (masks build 2.5 → ~1.0 s at sf0.1); the per-element HOF walk is
     // interpreted, but it touches ≤64-token arrays on corpus-collapsed
@@ -62,7 +68,8 @@ object TextQueries {
     val vocab = tok.agg(sort_array(collect_set(col("tok"))).as("vocab"))
       .filter(expr("ifnull(assert_true(size(vocab) <= 64, " +
         "'vocabulary exceeds 64 words: bitmask Jaccard invalid, use MinHash/LSH (q50)'), true)"))
-    val masks = docToks(s, dir).crossJoin(broadcast(vocab))
+    val masks = docToks(s, dir).filter(size(col("toks")) > 0)
+      .crossJoin(broadcast(vocab))
       .select(col("doc_id"), expr(
         "aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> " +
           "acc | shiftleft(CAST(1 AS BIGINT), " +

@@ -100,6 +100,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bitmask OR-fold equals the explode→row_number→sum formulation") {
+    // Pins the round-9 bitmask rewrite (VERDICT r9 #2): the shared mask
+    // build behind three oracled queries (q33/q78/q133) replaced an
+    // explode → row_number window → broadcast join → groupBy SUM chain
+    // with sort_array(collect_set) + a per-doc OR-fold over
+    // array_position bits. Randomized corpora over a ≤64-word pool,
+    // doc lengths 0..20 (empty docs included: BOTH paths must drop them —
+    // the old path had nothing to explode, the new path filters size > 0),
+    // asserted bit-for-bit per doc_id via a full outer join.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pool = (1 to 64).map(i => f"w$i%02d")
+    val docGen = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, Gen.oneOf(pool)))
+    val rows = Gen.listOfN(150, docGen).sample.get
+    val docToks = rows.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }.toDF("doc_id", "toks0")
+      .select(col("doc_id"), array_distinct(col("toks0")).as("toks"))
+    // New path — mirrors TextQueries.maskPairs exactly.
+    val tok = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val vocab = tok.agg(sort_array(collect_set(col("tok"))).as("vocab"))
+    val masksNew = docToks.filter(size(col("toks")) > 0)
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr(
+        "aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> " +
+          "acc | shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(array_position(vocab, t) AS INT) - 1))").as("mask"))
+    // Old (rounds 1-8) path — the formulation the rewrite replaced.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("tok"))
+    val vocabBits = tok.select("tok").distinct()
+      .withColumn("bit", row_number().over(w) - 1)
+    val masksOld = tok.join(broadcast(vocabBits), "tok")
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+    val bad = masksNew.as("n").join(masksOld.as("o"), Seq("doc_id"), "full_outer")
+      .filter(not(col("n.mask") <=> col("o.mask")))
+      .count()
+    assert(bad == 0L, s"$bad docs disagree between the OR-fold mask and the " +
+      "explode→row_number→sum formulation")
+  }
+
+  test("bitmask 65-word vocabulary tripwire fires through the real query path") {
+    // shiftleft wraps mod 64, so a 65th word would silently alias bit 0 and
+    // corrupt every downstream Jaccard — maskPairs must fail loudly instead.
+    // Exercised end-to-end: a 65-distinct-word documents.parquet through the
+    // declared q33 (not a replica of the expression).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tripwire").toString
+    val text65 = (1 to 65).map(i => s"word$i").mkString(" ")
+    Seq((1L, text65, "en"), (2L, "word1 word2", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[Exception] {
+      SparkEntry.queries("q33_neardup_pairs")(spark, dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("vocabulary exceeds 64 words")),
+      s"expected the 64-word tripwire, got: ${ex.getMessage}")
+  }
+
   test("MinHash signature equality follows set equality") {
     check(forAll(tokenGen) { x =>
       val agg = new MinHashAggregator(8)
