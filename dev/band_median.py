@@ -1,8 +1,12 @@
 #!/usr/bin/env python3
 """Compute the committed quiet band from N bench detail samples.
 
-Usage: python3 dev/band_median.py SAMPLE1.json SAMPLE2.json [SAMPLE3.json ...]
+Usage: python3 dev/band_median.py SAMPLE1.json SAMPLE2.json SAMPLE3.json [...]
        python3 dev/band_median.py s1.json s2.json s3.json > bench_detail.json
+
+Requires 3+ samples (the BASELINE.md protocol); refuses samples with
+failed queries, mismatched query sets, or a non-empty "retried" list
+(a run that tripped Bench's >3x outlier retry was not a quiet run).
 
 Each SAMPLE is a bench_detail.out.json written by `graft.Bench` (one run).
 Output (stdout) is the per-query MEDIAN across the samples, in the exact
@@ -32,7 +36,10 @@ import sys
 
 def main():
     paths = sys.argv[1:]
-    if len(paths) < 2:
+    # >= 3 is the documented protocol (BASELINE.md and this docstring): with
+    # 2 samples the per-query "median" silently degrades to a mean,
+    # weakening the band definition without warning (round-9 ADVICE).
+    if len(paths) < 3:
         sys.exit(__doc__)
     samples = []
     for p in paths:
@@ -40,6 +47,10 @@ def main():
             d = json.load(f)
         if d.get("n_failed", 0) or d.get("failed"):
             sys.exit(f"{p}: has failed queries — not band material")
+        if d.get("retried"):
+            sys.exit(f"{p}: Bench retried {d['retried']} — a run that "
+                     "tripped the >3x outlier retry is not a quiet run; "
+                     "re-sample on an idle host")
         samples.append(d)
     keys = set(samples[0]["queries"])
     for p, d in zip(paths, samples):

@@ -44,6 +44,12 @@ object Bench {
     }
   }
 
+  /** The "sf" the band was sampled at. Retries are disabled when it does
+    * not match the current run's sfDir: against a wrong-scale band every
+    * ratio is meaningless and the whole suite would read as outliers. */
+  def parseBandSf(text: String): Option[String] =
+    """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+
   /** Queries whose first timed run exceeded `factor`× their committed-band
     * entry — the repo's documented host-noise signature (three driver
     * rounds running, a contiguous block of untouched queries measured
@@ -128,9 +134,13 @@ object Bench {
     // Band source: the committed bench_detail.json in the working dir
     // (SPARK_GRAFT_BAND overrides; absent file = no retries).
     val band =
-      try parseBand(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BAND", "bench_detail.json")))))
+      try {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BAND", "bench_detail.json"))))
+        if (parseBandSf(text).contains(sfDir)) parseBand(text)
+        else Map.empty[String, Double]
+      }
       catch { case _: Throwable => Map.empty[String, Double] }
     val retried = retryPlan(runs.map { case (n, t, _) => n -> t }, band)
     // Invalidate session-cached state ONCE before the retries: the band

@@ -94,19 +94,36 @@ object Tables {
     * execution time; reading a legacy fixture is the only path that
     * mutates session conf, and FixtureSchemaSpec pins that the current µs
     * fixture leaves the conf untouched. */
+  /** Serializes the save/set/restore of the nanos shim conf: SessionCache
+    * builds are deliberately unlocked, so two threads racing the first
+    * `eventsRaw` build could each capture the other's transient "true" as
+    * `prev` and leave the flag flipped (round-9 ADVICE; latent — the
+    * engine runs queries sequentially — but a lock is cheaper than the
+    * assumption). Global, not per-session: the build is a once-per-
+    * (session, dir) footer read, contention is nil. */
+  private val nanosShimLock = new Object
+
   def eventsRaw(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(spark, s"table:$dir/events.raw") {
-      val prev = spark.conf.getOption(NanosAsLongConf)
-      def restore(): Unit = prev match {
-        case Some(v) => spark.conf.set(NanosAsLongConf, v)
-        case None    => spark.conf.unset(NanosAsLongConf)
+      nanosShimLock.synchronized {
+        val prev = spark.conf.getOption(NanosAsLongConf)
+        def restore(): Unit = prev match {
+          case Some(v) => spark.conf.set(NanosAsLongConf, v)
+          case None    => spark.conf.unset(NanosAsLongConf)
+        }
+        spark.conf.set(NanosAsLongConf, "true")
+        // The schema("ts") probe sits INSIDE the try (round-9 ADVICE): on a
+        // fixture without a ts column it throws IllegalArgumentException,
+        // and the conf must be restored before that propagates — leaving
+        // the shim flipped on the error path is exactly the read
+        // side-effect leak this scoping exists to close.
+        try {
+          val df = spark.read.parquet(s"$dir/events.parquet")
+          if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+            restore()
+          df
+        } catch { case t: Throwable => restore(); throw t }
       }
-      spark.conf.set(NanosAsLongConf, "true")
-      val df = try spark.read.parquet(s"$dir/events.parquet")
-        catch { case t: Throwable => restore(); throw t }
-      if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-        restore()
-      df
     }
 
   /** `events` with `ts` as a µs-precision timestamp (see object doc). */

@@ -64,4 +64,9 @@ class BenchRetrySpec extends AnyFunSuite {
   test("retryPlan with no band file is a no-op") {
     assert(Bench.retryPlan(Seq("qa" -> 99.0), Map.empty) === Seq.empty)
   }
+
+  test("parseBandSf reads the band's scale dir (mismatch disables retries)") {
+    assert(Bench.parseBandSf(bandLine) === Some("/root/testdata/sf0.1"))
+    assert(Bench.parseBandSf("""{"queries":{"qa":1.0}}""") === None)
+  }
 }
