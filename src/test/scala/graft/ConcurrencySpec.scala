@@ -70,4 +70,22 @@ class ConcurrencySpec extends AnyFunSuite {
         s"$n on a fresh session under concurrency must match the base session")
     }
   }
+
+  test("concurrent first eventsRaw builds leave the nanos shim conf untouched") {
+    // The round-10 lock contract (Tables.nanosShimLock): SessionCache
+    // builds are unlocked, so several threads can be inside the first
+    // eventsRaw build at once — unserialized, each could capture another's
+    // transient "true" as prev and leave the shim flipped. A fresh session
+    // makes every thread race the initial build; on the current µs fixture
+    // the conf must come back exactly as it was.
+    val fresh = spark.newSession()
+    val before = fresh.conf.getOption(graft.sources.Tables.NanosAsLongConf)
+    val dfs = Await.result(
+      Future.sequence((1 to 8).map(_ =>
+        Future(graft.sources.Tables.eventsRaw(fresh, dir)))),
+      2.minutes)
+    assert(dfs.forall(_.schema.fieldNames.contains("ts")))
+    assert(fresh.conf.getOption(graft.sources.Tables.NanosAsLongConf) === before,
+      "racing first builds must not leave the nanos shim conf flipped")
+  }
 }
