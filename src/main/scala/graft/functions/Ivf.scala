@@ -54,7 +54,7 @@ object Ivf {
 
   /** Cluster id (0-based) of the nearest centroid, first-min tie-break. */
   def assignment(e: Column, centroids: Array[Array[Double]]): Column = {
-    val scores = array(centroids.map(c => centroidScore(e, c)): _*)
+    val scores = array(centroids.toIndexedSeq.map(c => centroidScore(e, c)): _*)
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
@@ -148,7 +148,7 @@ object Ivf {
     // centroidScore ranks identically to true squared distance within a row
     // (the dropped x·x term is per-row constant), which is all the probe
     // selection needs.
-    val dists = array(centroids.map(c => centroidScore(col("e"), c)): _*)
+    val dists = array(centroids.toIndexedSeq.map(c => centroidScore(col("e"), c)): _*)
     val probed = queries
       .withColumn("__dists", dists)
       .withColumn("__order",
