@@ -33,6 +33,59 @@ class ComponentsSpec extends AnyFunSuite {
     twice.foreach { case (id, rep) => assert(id == rep, "reps must be stable") }
   }
 
+  /** Plain union-find reference: rep = min vertex id of each component. */
+  private def ufComponents(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+  }
+
+  private def ccOf(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = (0L until n.toLong).toDF("id")
+    val edf = if (edges.isEmpty)
+      Seq.empty[(Long, Long)].toDF("src", "dst")
+    else edges.toDF("src", "dst")
+    Components.connectedComponents(verts, edf).as[(Long, Long)].collect().toMap
+  }
+
+  // Randomized insurance on the round-10 fixpoint-exit rewrite: the loop now
+  // exits on the edge-violation certificate (round ≥1) or changed==0 (round
+  // 0), and round 0 skips the label join entirely — so every exit path and
+  // the round-0 shortcut must still produce the exact union-find labeling.
+  test("connected components equal a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 1 + rnd.nextInt(40)
+      val m = rnd.nextInt(60)
+      // Self-loops and duplicate/reversed edges on purpose — und unions both
+      // directions and min-propagation must be idempotent under them.
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(ccOf(n, edges) == ufComponents(n, edges),
+        s"trial $trial (n=$n, m=$m, edges=$edges)")
+    }
+  }
+
+  test("adversarial shapes: long path, cycle, star, edge-free round-0 exit") {
+    // Path 0-1-...-24: diameter 24 forces multiple certificate rounds and
+    // real pointer-jump contraction (labels converge in O(log diameter)).
+    val path = (0L until 24L).map(i => (i, i + 1))
+    assert(ccOf(25, path) == (0L until 25L).map(_ -> 0L).toMap)
+    // Cycle (closing edge makes min propagate both ways) + separate star.
+    val cycle = (0L until 9L).map(i => (i, (i + 1) % 10)) :+ (9L, 0L)
+    val star = (11L to 15L).map(v => (10L, v))
+    val got = ccOf(16, cycle ++ star)
+    assert(got == ufComponents(16, cycle ++ star))
+    assert((0 to 9).forall(v => got(v.toLong) == 0L) &&
+      (10 to 15).forall(v => got(v.toLong) == 10L))
+    // Edge-free graph: round 0's changed==0 exit (certificate skipped).
+    assert(ccOf(7, Nil) == (0L until 7L).map(v => v -> v).toMap)
+  }
+
   test("q133 dedup ROI accounting matches q78's cluster histogram") {
     val rows = Registry.queries("q133_dedup_roi")(spark, TestSpark.sf0001)
       .collect()
