@@ -41,15 +41,39 @@ class BenchRetrySpec extends AnyFunSuite {
 
   test("retryPlan boundary: exactly factor× is NOT an outlier, just above is") {
     val band = Map("qa" -> 1.0, "qb" -> 1.0)
-    assert(Bench.retryPlan(Seq("qa" -> 3.0, "qb" -> 3.001), band) === Seq("qb"))
+    assert(Bench.RetryFactor === 2.0) // aligned with the driver's 2x gate (r11)
+    assert(Bench.retryPlan(Seq("qa" -> 2.0, "qb" -> 2.001), band) === Seq("qb"))
+  }
+
+  test("retryPlan catches the BENCH_r10 escape zone (2-3x band)") {
+    // The live r10 failure: q112 2.71x, q117 2.89x, q122 2.29x sat over the
+    // driver's 2x gate but under the old 3x trigger. They must now plan.
+    val band = Map("q112" -> 0.713, "q117" -> 0.452, "q122" -> 2.244)
+    val times = Seq("q112" -> 1.93, "q117" -> 1.31, "q122" -> 5.14)
+    assert(Bench.retryPlan(times, band).toSet === Set("q112", "q117", "q122"))
   }
 
   test("retryPlan is capped so a genuine full-suite regression survives retry") {
     val band = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
     val times = (1 to 50).map(i => f"q$i%02d" -> (3.0 + i * 0.1))
     val plan = Bench.retryPlan(times, band)
-    assert(plan.size === 10)
-    assert(plan.head === "q50") // worst ratio first
+    assert(plan.size === Bench.RetryCap)
+    assert(Bench.RetryCap === 16) // raised from 10 after r10 saturated
+    assert(plan.size < 50 / 2)    // most of the suite keeps its first sample
+    assert(plan.head === "q50")   // worst ratio first
+  }
+
+  test("overBandCount counts post-retry residue; -1 flags a missing band") {
+    val band = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 1.0, "qz" -> 0.0)
+    val finals = Seq(
+      "qa" -> 0.9,   // quiet
+      "qb" -> 2.0,   // exactly the factor: NOT over (matches retryPlan)
+      "qc" -> 2.5,   // still inflated after its retry → counted
+      "qd" -> 99.0,  // no band entry: no denominator, not counted
+      "qz" -> 99.0,  // zero band entry: no ratio defined
+      "qe" -> -1.0)  // failed: reported in "failed", not here
+    assert(Bench.overBandCount(finals, band) === 1)
+    assert(Bench.overBandCount(finals, Map.empty) === -1)
   }
 
   test("retryPlan ignores failed queries, zero bands, and unknown queries") {

@@ -76,7 +76,7 @@ class ComponentsSpec extends AnyFunSuite {
     val path = (0L until 24L).map(i => (i, i + 1))
     assert(ccOf(25, path) == (0L until 25L).map(_ -> 0L).toMap)
     // Cycle (closing edge makes min propagate both ways) + separate star.
-    val cycle = (0L until 9L).map(i => (i, (i + 1) % 10)) :+ (9L, 0L)
+    val cycle = (0L until 9L).map(i => (i, i + 1)) :+ (9L, 0L)
     val star = (11L to 15L).map(v => (10L, v))
     val got = ccOf(16, cycle ++ star)
     assert(got == ufComponents(16, cycle ++ star))

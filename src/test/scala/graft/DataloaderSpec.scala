@@ -91,7 +91,7 @@ class DataloaderSpec extends AnyFunSuite {
     val expected = docTokens.select(
       sum(when(col("n") <= 32L, 1L)
         .otherwise(expr("1 + (n - 32 + 23) DIV 24"))).cast("long"))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(chunks.count() == expected, "closed-form chunk count")
   }
 
@@ -188,7 +188,7 @@ class DataloaderSpec extends AnyFunSuite {
       assert(ttr > 0.0 && ttr <= 1.0, s"TTR out of (0,1]: $r")
     }
     // Cross-check the corpus token total against a direct count.
-    val total = docTokens.select(sum("n")).head.getLong(0)
+    val total = docTokens.select(sum("n")).head().getLong(0)
     assert(rows.map(_.getLong(1)).sum == total, "token conservation")
   }
 }

@@ -93,9 +93,9 @@ class PlanSpec extends AnyFunSuite {
     // preserved through the shard decomposition.
     val docs = Tables.read(spark, TestSpark.sf0001, "documents")
     val total = docs.select(sum(size(split(col("text"), " ")).cast("long")))
-      .head.getLong(0)
+      .head().getLong(0)
     val packed = Registry.queries("q87_sequence_packing")(spark, TestSpark.sf0001)
-      .select(sum("n_docs").cast("long"), sum("n_tokens").cast("long")).head
+      .select(sum("n_docs").cast("long"), sum("n_tokens").cast("long")).head()
     assert(packed.getLong(0) == docs.count(), "every doc lands in one pack")
     assert(packed.getLong(1) == total, "token mass is conserved")
   }

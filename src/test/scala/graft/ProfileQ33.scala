@@ -1,30 +1,12 @@
 package graft
 
-/** Warm repeated timing of q33 (and its q133 siblings) at sf0.1 — run with
-  * `sbt "Test/runMain graft.ProfileQ33"`. Not part of the test suite.
-  *
-  * Ten warm repetitions per query, min and median reported: the committed
-  * band is a cross-run median, but for an A/B on a single code change the
-  * warm MIN is the noise-robust statistic (host drift only ever adds
-  * time). Round-10 origin: three quiet-ish bench samples put q33 at ~1.3×
-  * band while the suite median drifted 1.06-1.18×, an ambiguous signal
-  * worth a targeted look. NOTE: q133/q78 ride the session-cached cluster
-  * relation after their first execution, so only rep 0 measures the build
-  * — their warm min is the CACHED path, not band-comparable; q33 has no
-  * session cache and every rep is the full pipeline. */
+/** Round-10 alias, kept so `sbt "Test/runMain graft.ProfileQ33"` and the
+  * BASELINE/BUILDLOG references to it keep working — since round 11 it
+  * simply delegates to the generic [[ProfileQuery]] with its original
+  * query pair and defaults (10 warm reps, sf0.1, shared session). See
+  * ProfileQuery's scaladoc for the min-vs-median rationale and the
+  * q133/q78 session-cache caveat that originated here. */
 object ProfileQ33 {
-  def main(a: Array[String]): Unit = {
-    val spark = TestSpark.spark
-    val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q33_neardup_pairs", "q133_dedup_roi")) {
-      val ts = (0 until 10).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val sorted = ts.sorted
-      println(f"[q33prof] $q%-22s min=${sorted.head}%.3f " +
-        f"median=${sorted(ts.size / 2)}%.3f all=${ts.map(t => f"$t%.2f").mkString(",")}")
-    }
-  }
+  def main(a: Array[String]): Unit =
+    ProfileQuery.main(Array("q33_neardup_pairs", "q133_dedup_roi"))
 }

@@ -110,7 +110,7 @@ class RetentionSpec extends AnyFunSuite {
     // sum(max(0, events_per_user - 2)).
     val expected = Tables.events(spark, TestSpark.sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
-      .select(sum(greatest(col("n") - 2L, lit(0L)))).head.getLong(0)
+      .select(sum(greatest(col("n") - 2L, lit(0L)))).head().getLong(0)
     // Re-derive without the limit: the declared query's limit(20) is
     // presentation, the conservation law is about the aggregate beneath it.
     val w = org.apache.spark.sql.expressions.Window
