@@ -5,8 +5,14 @@ Usage: python3 dev/band_median.py SAMPLE1.json SAMPLE2.json SAMPLE3.json [...]
        python3 dev/band_median.py s1.json s2.json s3.json > bench_detail.json
 
 Requires 3+ samples (the BASELINE.md protocol); refuses samples with
-failed queries, mismatched query sets, or a non-empty "retried" list
-(a run that tripped Bench's >3x outlier retry was not a quiet run).
+failed queries, mismatched query sets, a non-empty "retried" list
+(a run that tripped Bench's >2x outlier retry was not a quiet run), or
+"drift" above 1.15 (uniform background load inflates every query alike
+and never trips the per-query retry — round-11's 1.2-1.3x samples would
+otherwise have been accepted as "quiet"). Pass --allow-drift for the one
+legitimate high-drift case: a refresh after a deliberate code change that
+moved the whole suite relative to the OLD band the drift is measured
+against.
 
 Each SAMPLE is a bench_detail.out.json written by `graft.Bench` (one run).
 Output (stdout) is the per-query MEDIAN across the samples, in the exact
@@ -34,8 +40,12 @@ import json
 import sys
 
 
+MAX_DRIFT = 1.15
+
+
 def main():
-    paths = sys.argv[1:]
+    allow_drift = "--allow-drift" in sys.argv[1:]
+    paths = [p for p in sys.argv[1:] if p != "--allow-drift"]
     # >= 3 is the documented protocol (BASELINE.md and this docstring): with
     # 2 samples the per-query "median" silently degrades to a mean,
     # weakening the band definition without warning (round-9 ADVICE).
@@ -49,8 +59,16 @@ def main():
             sys.exit(f"{p}: has failed queries — not band material")
         if d.get("retried"):
             sys.exit(f"{p}: Bench retried {d['retried']} — a run that "
-                     "tripped the >3x outlier retry is not a quiet run; "
+                     "tripped the outlier retry is not a quiet run; "
                      "re-sample on an idle host")
+        # Old samples (pre-round-11) carry no "drift"; only reject a
+        # POSITIVE measured drift over the bar — -1 means no band was
+        # readable during the run, which says nothing about quietness.
+        if d.get("drift", -1) > MAX_DRIFT and not allow_drift:
+            sys.exit(f"{p}: drift {d['drift']} > {MAX_DRIFT} — uniform "
+                     "background load; re-sample on an idle host, or pass "
+                     "--allow-drift iff a deliberate code change moved the "
+                     "whole suite vs the old band")
         samples.append(d)
     keys = set(samples[0]["queries"])
     for p, d in zip(paths, samples):

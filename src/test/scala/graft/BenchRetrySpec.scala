@@ -76,6 +76,26 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.overBandCount(finals, Map.empty) === -1)
   }
 
+  test("bandDriftMedian reports uniform load; spikes don't drag the median") {
+    val band = Map("qa" -> 1.0, "qb" -> 2.0, "qc" -> 4.0)
+    // Uniform 1.25x load reads as exactly 1.25.
+    assert(Bench.bandDriftMedian(
+      Seq("qa" -> 1.25, "qb" -> 2.5, "qc" -> 5.0), band) === 1.25)
+    // One 20x spike on an otherwise-quiet suite: median stays quiet (1.0),
+    // so the spike reads as a singleton (over_band), NOT as drift.
+    assert(Bench.bandDriftMedian(
+      Seq("qa" -> 1.0, "qb" -> 2.0, "qc" -> 80.0), band) === 1.0)
+    // Even count: mean of the middle two.
+    assert(Bench.bandDriftMedian(
+      Seq("qa" -> 1.0, "qb" -> 4.0), band) === 1.5)
+    // Failed queries and band-less queries contribute no ratio.
+    assert(Bench.bandDriftMedian(
+      Seq("qa" -> -1.0, "qx" -> 9.0, "qb" -> 2.0), band) === 1.0)
+    // No usable pairs at all: the -1 sentinel, matching over_band's.
+    assert(Bench.bandDriftMedian(Seq("qx" -> 9.0), band) === -1.0)
+    assert(Bench.bandDriftMedian(Seq("qa" -> 1.0), Map.empty) === -1.0)
+  }
+
   test("retryPlan ignores failed queries, zero bands, and unknown queries") {
     val band = Map("qa" -> 1.0, "qb" -> 0.0)
     val times = Seq(
