@@ -21,6 +21,19 @@ class BenchRetrySpec extends AnyFunSuite {
       "q48_lambda_view_union" -> 0.506, "q59_returned_items" -> 0.770))
   }
 
+  test("parseBand is unaffected by the round-11 keys after the queries map") {
+    // A detail file written by the current Bench carries retried/over_band/
+    // drift AFTER the queries object; pointing SPARK_GRAFT_BAND at one
+    // (instead of a band_median.py-authored band) must still parse the
+    // per-query map and nothing else — the regex stops at the map's `}`.
+    val line = """{"metric":"total","value":68.266,"unit":"sec",""" +
+      """"queries":{"qa":1.5,"qb":0.25},"n_ok":134,"n_failed":0,""" +
+      """"retried":["qb"],"over_band":0,"drift":1.065,""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseBand(line) === Map("qa" -> 1.5, "qb" -> 0.25))
+    assert(Bench.parseBandSf(line) === Some("/root/testdata/sf0.1"))
+  }
+
   test("parseBand on garbage or empty input yields an empty map (retries off)") {
     assert(Bench.parseBand("") === Map.empty)
     assert(Bench.parseBand("not json at all") === Map.empty)
