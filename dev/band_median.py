@@ -14,6 +14,17 @@ legitimate high-drift case: a refresh after a deliberate code change that
 moved the whole suite relative to the OLD band the drift is measured
 against.
 
+Refreshing after a deliberate change that slows any single query >2x its
+OLD band entry needs one more step: every sample run would retry that
+query (the real cost reproduces, so min(first, retry) keeps it — but the
+non-empty "retried" list is still rejected above, correctly: retried
+samples carry best-of-two semantics, which is not band material).
+Collect those refresh samples with retries disabled outright:
+  SPARK_GRAFT_BAND=/nonexistent ... graft.Bench
+Each sample is then a pure single-pass run (retried:[], drift:-1) and
+this script accepts it; quietness falls back to the idle-host vmstat
+protocol that the drift gate only supplements.
+
 Each SAMPLE is a bench_detail.out.json written by `graft.Bench` (one run).
 Output (stdout) is the per-query MEDIAN across the samples, in the exact
 bench_detail schema, with "value" recomputed as the sum of the medians —

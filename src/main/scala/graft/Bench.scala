@@ -92,15 +92,19 @@ object Bench {
     * r10 judge's gap: "retried" says who got a second chance but not who
     * exceeded the gate yet escaped (cap saturation) or stayed inflated
     * after it (reproducing regression, or sustained load a retry can't
-    * fix). -1 when no usable band exists, so "no denominator" is never
-    * mistaken for "zero over band". Failed queries (t < 0) are excluded
+    * fix). -1 when no usable (time, positive-band) pair exists — a band
+    * that shares no query names with the run (e.g. predates a rename) has
+    * no denominator either, and "no denominator" must never read as the
+    * verified-quiet over_band:0. Failed queries (t < 0) are excluded
     * here too — they are already loud in "failed". */
   def overBandCount(finalTimes: Seq[(String, Double)],
-      band: Map[String, Double], factor: Double = RetryFactor): Int =
-    if (band.isEmpty) -1
-    else finalTimes.count { case (n, t) =>
-      t >= 0 && band.getOrElse(n, 0.0) > 0 && t > factor * band(n)
+      band: Map[String, Double], factor: Double = RetryFactor): Int = {
+    val usable = finalTimes.filter { case (n, t) =>
+      t >= 0 && band.getOrElse(n, 0.0) > 0
     }
+    if (usable.isEmpty) -1
+    else usable.count { case (n, t) => t > factor * band(n) }
+  }
 
   /** Median of final/band per-query ratios — disclosed as "drift":X so the
     * one noise class retries correctly CANNOT fix is also readable off the

@@ -87,6 +87,9 @@ class BenchRetrySpec extends AnyFunSuite {
       "qe" -> -1.0)  // failed: reported in "failed", not here
     assert(Bench.overBandCount(finals, band) === 1)
     assert(Bench.overBandCount(finals, Map.empty) === -1)
+    // A band that shares no names with the run has no denominator either:
+    // the sentinel, not the verified-quiet 0 (matches bandDriftMedian).
+    assert(Bench.overBandCount(finals, Map("q_gone" -> 1.0)) === -1)
   }
 
   test("bandDriftMedian reports uniform load; spikes don't drag the median") {

@@ -7,6 +7,8 @@ package graft
   * ProfileQuery's scaladoc for the min-vs-median rationale and the
   * q133/q78 session-cache caveat that originated here. */
 object ProfileQ33 {
+  // Extra args (e.g. --fresh, --reps=N) forward to the generic main —
+  // silently dropping them would let a --fresh A/B run the cached path.
   def main(a: Array[String]): Unit =
-    ProfileQuery.main(Array("q33_neardup_pairs", "q133_dedup_roi"))
+    ProfileQuery.main(Array("q33_neardup_pairs", "q133_dedup_roi") ++ a)
 }

@@ -24,17 +24,22 @@ object ProfileQuery {
     val (flags, names) = args.partition(_.startsWith("--"))
     def flag(k: String): Option[String] =
       flags.collectFirst { case f if f.startsWith(s"--$k=") => f.drop(k.length + 3) }
-    val reps = flag("reps").map(_.toInt).getOrElse(10)
+    def usage(problem: String): Nothing = {
+      System.err.println(problem +
+        "\nusage: Test/runMain graft.ProfileQuery [--reps=N] [--sf=DIR] [--fresh] <query>...\n" +
+        s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
+    // Malformed or non-positive --reps must reach the usage text, not a
+    // raw NumberFormatException / an empty-timings crash after zero reps.
+    val reps = flag("reps").map(r => r.toIntOption.getOrElse(usage(s"bad --reps=$r")))
+      .getOrElse(10)
+    if (reps < 1) usage(s"--reps=$reps must be >= 1")
     val dir = flag("sf").getOrElse("/root/testdata/sf0.1")
     val fresh = flags.contains("--fresh")
     val unknown = names.filterNot(SparkEntry.queries.contains)
-    if (names.isEmpty || unknown.nonEmpty) {
-      System.err.println(
-        (if (unknown.nonEmpty) s"unknown queries: ${unknown.mkString(", ")}\n" else "") +
-          "usage: Test/runMain graft.ProfileQuery [--reps=N] [--sf=DIR] [--fresh] <query>...\n" +
-          s"known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
-      sys.exit(1)
-    }
+    if (names.isEmpty) usage("no queries named")
+    if (unknown.nonEmpty) usage(s"unknown queries: ${unknown.mkString(", ")}")
     val spark = TestSpark.spark
     for (q <- names) {
       val ts = (0 until reps).map { _ =>
@@ -44,8 +49,13 @@ object ProfileQuery {
         (System.nanoTime() - t0) / 1e9
       }
       val sorted = ts.sorted
-      println(f"[prof] $q%-26s min=${sorted.head}%.3f " +
-        f"median=${sorted(ts.size / 2)}%.3f " +
+      // True median (middle-two mean on even counts): the upper-middle
+      // element alone biases high under one-sided host-noise inflation —
+      // the same silent degradation band_median.py refuses (r9 ADVICE).
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2
+      println(f"[prof] $q%-26s min=${sorted.head}%.3f median=$median%.3f " +
         f"all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
     // No spark.stop(): TestSpark.spark is suite-shared; Test/runMain forks,
