@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the COMMITTED band file (bench_detail.json) to the live retry
+  * defense's expectations. BenchRetrySpec proves the pure logic on
+  * synthetic lines; nothing until this spec proved the artifact the
+  * driver-run Bench actually reads. The failure modes this catches are
+  * all silent at runtime BY DESIGN (Bench must run on band-less hosts,
+  * so an unreadable/mismatched band just disables retries):
+  *   - a band refresh that wrote a truncated or malformed file
+  *     → parseBand comes back partial/empty, defense quietly off;
+  *   - a query rename without a band refresh
+  *     → orphaned band entries + a band-less query (over_band loses its
+  *       denominator for it);
+  *   - a refresh sampled at the wrong scale dir
+  *     → parseBandSf mismatch disables the defense at the driver's sf0.1.
+  */
+class BandFileSpec extends AnyFunSuite {
+
+  private val text = new String(java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get("bench_detail.json")))
+
+  test("committed band parses to exactly the declared query set") {
+    val band = Bench.parseBand(text)
+    val declared = SparkEntry.queries.keySet
+    val orphaned = band.keySet -- declared
+    val bandless = declared -- band.keySet
+    assert(orphaned.isEmpty,
+      s"band entries for undeclared queries (stale after a rename?): $orphaned")
+    assert(bandless.isEmpty,
+      s"declared queries with no band entry (refresh the band per " +
+        s"BASELINE.md before round end): $bandless")
+  }
+
+  test("committed band entries are all positive seconds") {
+    val band = Bench.parseBand(text)
+    assert(band.nonEmpty)
+    val bad = band.filter(_._2 <= 0)
+    assert(bad.isEmpty, s"non-positive band entries (retryPlan skips them): $bad")
+  }
+
+  test("committed band was sampled at the driver's scale dir") {
+    // A mismatch here means the driver-run Bench at sf0.1 silently
+    // disables every retry — exactly the state this spec exists to catch.
+    assert(Bench.parseBandSf(text) === Some("/root/testdata/sf0.1"))
+  }
+
+  test("committed band records the 3+ samples the protocol requires") {
+    val n = """"band_samples"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toInt)
+    assert(n.exists(_ >= 3),
+      s"band_samples=$n — the band must come from dev/band_median.py over 3+ idle samples")
+  }
+}
