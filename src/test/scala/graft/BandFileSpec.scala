@@ -18,8 +18,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BandFileSpec extends AnyFunSuite {
 
-  private val text = new String(java.nio.file.Files.readAllBytes(
-    java.nio.file.Paths.get("bench_detail.json")))
+  /** Lazy + root-anchored so a missing/unreadable band surfaces as each
+    * test's own assertion message, not a suite-abort in the constructor
+    * (r11 ADVICE). sbt forks tests from the project base dir, but anchor
+    * on build.sbt anyway so a different fork cwd can't silently point at
+    * the wrong file.
+    */
+  private lazy val text: String = {
+    val candidates = Seq(
+      java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_detail.json"))
+    candidates.find(java.nio.file.Files.isReadable) match {
+      case Some(p) => new String(java.nio.file.Files.readAllBytes(p))
+      case None =>
+        fail(s"bench_detail.json not readable at any of $candidates " +
+          "(cwd=" + sys.props("user.dir") + ") — the committed band file " +
+          "must live at the repo root; re-run dev/band_median.py per BASELINE.md")
+    }
+  }
 
   test("committed band parses to exactly the declared query set") {
     val band = Bench.parseBand(text)
@@ -38,6 +54,14 @@ class BandFileSpec extends AnyFunSuite {
     assert(band.nonEmpty)
     val bad = band.filter(_._2 <= 0)
     assert(bad.isEmpty, s"non-positive band entries (retryPlan skips them): $bad")
+    // parseBand's [0-9.]+ entry regex never matches a minus sign, so a
+    // negative band value is dropped by the parser and would otherwise
+    // surface only as a 'bandless' key in the first test (r11 ADVICE).
+    // Scan the raw text so the failure names the actual defect.
+    val negative = """"(q[^"]+)"\s*:\s*-[0-9.]+""".r
+      .findAllMatchIn(text).map(_.group(1)).toList
+    assert(negative.isEmpty,
+      s"negative band entries in raw bench_detail.json: $negative")
   }
 
   test("committed band was sampled at the driver's scale dir") {
