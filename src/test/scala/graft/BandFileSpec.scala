@@ -20,20 +20,24 @@ class BandFileSpec extends AnyFunSuite {
 
   /** Lazy + root-anchored so a missing/unreadable band surfaces as each
     * test's own assertion message, not a suite-abort in the constructor
-    * (r11 ADVICE). sbt forks tests from the project base dir, but anchor
-    * on build.sbt anyway so a different fork cwd can't silently point at
-    * the wrong file.
+    * (r11 ADVICE). Root-anchoring is real (r12 ADVICE): walk up from
+    * user.dir until a directory containing build.sbt is found, so a
+    * different sbt fork cwd (or a future nested-module layout) still
+    * resolves the REPO ROOT's committed band, not some other
+    * bench_detail.json that happens to sit in the fork cwd.
     */
   private lazy val text: String = {
-    val candidates = Seq(
-      java.nio.file.Paths.get("bench_detail.json"),
-      java.nio.file.Paths.get(sys.props("user.dir"), "bench_detail.json"))
-    candidates.find(java.nio.file.Files.isReadable) match {
-      case Some(p) => new String(java.nio.file.Files.readAllBytes(p))
-      case None =>
-        fail(s"bench_detail.json not readable at any of $candidates " +
-          "(cwd=" + sys.props("user.dir") + ") — the committed band file " +
-          "must live at the repo root; re-run dev/band_median.py per BASELINE.md")
+    val start = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
+    val root = Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+      .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")))
+    root.map(_.resolve("bench_detail.json")) match {
+      case Some(p) if java.nio.file.Files.isReadable(p) =>
+        new String(java.nio.file.Files.readAllBytes(p))
+      case other =>
+        fail(s"bench_detail.json not readable at ${other.orNull} " +
+          "(walked up from cwd=" + sys.props("user.dir") + " looking for " +
+          "build.sbt) — the committed band file must live at the repo " +
+          "root; re-run dev/band_median.py per BASELINE.md")
     }
   }
 
@@ -57,9 +61,15 @@ class BandFileSpec extends AnyFunSuite {
     // parseBand's [0-9.]+ entry regex never matches a minus sign, so a
     // negative band value is dropped by the parser and would otherwise
     // surface only as a 'bandless' key in the first test (r11 ADVICE).
-    // Scan the raw text so the failure names the actual defect.
-    val negative = """"(q[^"]+)"\s*:\s*-[0-9.]+""".r
-      .findAllMatchIn(text).map(_.group(1)).toList
+    // Scan the raw text so the failure names the actual defect — scoped
+    // to the SAME "queries" object capture parseBand uses (r12 ADVICE:
+    // the old whole-file q-prefix scan missed non-q keys inside queries
+    // and could false-positive on q-keys outside it).
+    val queriesObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+    val negative = queriesObj.findFirstMatchIn(text).toList.flatMap { m =>
+      """"([^"]+)"\s*:\s*-[0-9.]+""".r
+        .findAllMatchIn(m.group(1)).map(_.group(1)).toList
+    }
     assert(negative.isEmpty,
       s"negative band entries in raw bench_detail.json: $negative")
   }
