@@ -16,6 +16,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - a refresh sampled at the wrong scale dir
   *     → parseBandSf mismatch disables the defense at the driver's sf0.1.
   */
+object BandFileSpec {
+  /** Nearest ancestor of `start` (inclusive) containing build.sbt — the
+    * repo root under sbt's single-module layout. Factored out of the band
+    * lookup so the walk-up itself is testable from a nested start dir
+    * (the exact fork-cwd scenario the anchoring exists to protect).
+    */
+  def findRepoRoot(start: java.nio.file.Path): Option[java.nio.file.Path] =
+    Iterator.iterate(start.toAbsolutePath)(_.getParent).takeWhile(_ != null)
+      .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")))
+}
+
 class BandFileSpec extends AnyFunSuite {
 
   /** Lazy + root-anchored so a missing/unreadable band surfaces as each
@@ -27,9 +38,8 @@ class BandFileSpec extends AnyFunSuite {
     * bench_detail.json that happens to sit in the fork cwd.
     */
   private lazy val text: String = {
-    val start = java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath
-    val root = Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
-      .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")))
+    val start = java.nio.file.Paths.get(sys.props("user.dir"))
+    val root = BandFileSpec.findRepoRoot(start)
     root.map(_.resolve("bench_detail.json")) match {
       case Some(p) if java.nio.file.Files.isReadable(p) =>
         new String(java.nio.file.Files.readAllBytes(p))
@@ -85,5 +95,29 @@ class BandFileSpec extends AnyFunSuite {
       .findFirstMatchIn(text).map(_.group(1).toInt)
     assert(n.exists(_ >= 3),
       s"band_samples=$n — the band must come from dev/band_median.py over 3+ idle samples")
+  }
+
+  test("root walk-up finds the repo root from a nested start dir") {
+    // The fork-cwd scenario the anchoring protects against: a start dir
+    // BELOW the repo root must resolve to the build.sbt directory, not to
+    // the start dir itself (which, pre-fix, is where both candidates of
+    // the old two-entry lookup resolved).
+    import java.nio.file.{Files, Paths}
+    val cwd = Paths.get(sys.props("user.dir")).toAbsolutePath
+    val expectedRoot = BandFileSpec.findRepoRoot(cwd)
+      .getOrElse(fail(s"no build.sbt above $cwd"))
+    val nested = Files.createTempDirectory(
+      expectedRoot.resolve("target"), "bandspec-nested")
+    try {
+      assert(BandFileSpec.findRepoRoot(nested) === Some(expectedRoot),
+        "walk-up from a nested dir must land on the repo root")
+      // And from a dir OUTSIDE any sbt project (no build.sbt ancestor up
+      // to /tmp's root), the walk-up must report None, not a wrong root.
+      val outside = Files.createTempDirectory("bandspec-outside")
+      try assert(BandFileSpec.findRepoRoot(outside).forall(
+        r => Files.exists(r.resolve("build.sbt"))),
+        "a found root must actually contain build.sbt")
+      finally Files.deleteIfExists(outside)
+    } finally Files.deleteIfExists(nested)
   }
 }
