@@ -84,6 +84,20 @@ class BandFileSpec extends AnyFunSuite {
       s"negative band entries in raw bench_detail.json: $negative")
   }
 
+  test("committed band has no duplicate query keys") {
+    // parseBand ends in .toMap, which silently keeps the LAST entry for a
+    // duplicated key — a malformed band_median.py merge would surface as
+    // a band whose retry thresholds are whichever duplicate came last,
+    // with no parse error anywhere. Count raw entries against the map.
+    val queriesObj = """"queries"\s*:\s*\{([^}]*)\}""".r
+    val rawKeys = queriesObj.findFirstMatchIn(text).toList.flatMap { m =>
+      """"([^"]+)"\s*:""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toList
+    }
+    val dupes = rawKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate band entries (last-wins silently): $dupes")
+    assert(rawKeys.size === Bench.parseBand(text).size)
+  }
+
   test("committed band was sampled at the driver's scale dir") {
     // A mismatch here means the driver-run Bench at sf0.1 silently
     // disables every retry — exactly the state this spec exists to catch.
