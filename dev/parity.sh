@@ -1,0 +1,43 @@
+#!/bin/bash
+# Execution-mode parity matrix: run graft.Verify under each physical-
+# execution mode and assert all 134 output tables are byte-identical to
+# the default-mode run (dev/compare_outputs.py, cell-for-cell).
+#
+#   dev/parity.sh [sfDir]          # default /root/testdata/sf0.01
+#
+# Modes (conf injected via -Dspark.* system properties, which
+# SparkSession.builder absorbs through SparkConf; landing verified by
+# conf probe, BUILDLOG round 13):
+#   interpreted : whole-stage codegen off + expression factory NO_CODEGEN
+#                 (the "janino compile failed on an executor" fallback)
+#   nojoinopt   : AQE off + auto-broadcast off (explicit broadcast()
+#                 hints still apply; unhinted joins go sort-merge)
+#   rowreader   : non-vectorized Parquet reader + SortAggregate instead
+#                 of ObjectHashAggregate
+# Requires a prior `sbt compile`. Exit 0 iff every mode is identical.
+set -e
+SF=${1:-/root/testdata/sf0.01}
+BASE=/tmp/parity_base
+run() { # run <outDir> [extra -D flags...]
+  local out=$1; shift
+  rm -rf "$out"
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_JAVA_OPTS="$*" \
+    "$(dirname "$0")"/run.sh graft.Verify "$SF" "$out" >"$out.log" 2>&1
+}
+run "$BASE"
+rc=0
+declare -A MODES=(
+  [interpreted]="-Dspark.sql.codegen.wholeStage=false -Dspark.sql.codegen.factoryMode=NO_CODEGEN"
+  [nojoinopt]="-Dspark.sql.adaptive.enabled=false -Dspark.sql.autoBroadcastJoinThreshold=-1"
+  [rowreader]="-Dspark.sql.parquet.enableVectorizedReader=false -Dspark.sql.execution.useObjectHashAggregateExec=false"
+)
+for mode in interpreted nojoinopt rowreader; do
+  echo "=== mode: $mode (${MODES[$mode]})"
+  run "/tmp/parity_$mode" ${MODES[$mode]}
+  if python3 "$(dirname "$0")"/compare_outputs.py "$BASE" "/tmp/parity_$mode" | tail -1; then
+    echo "=== $mode: IDENTICAL"
+  else
+    echo "=== $mode: DIFFERS (see above)"; rc=1
+  fi
+done
+exit $rc

@@ -15,6 +15,9 @@ OPENS="$OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+# SPARK_GRAFT_JAVA_OPTS: extra -D flags (e.g. dev/parity.sh's
+# execution-mode conf injection). Placed last so they win.
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  $SPARK_GRAFT_JAVA_OPTS \
   -cp "$CP" "$@"
