@@ -68,5 +68,6 @@ for name in sorted(names_a & names_b):
         print(f"OK   {name}  ({len(da)} rows x {len(da.columns)} cols)")
 for name, why in bad:
     print(f"DIFF {name}: {why}")
-print(f"\n{len(names_a & names_b) - len([b for b in bad])} identical, {len(bad)} differing/missing")
+bad_shared = len({n for n, _ in bad} & names_a & names_b)
+print(f"\n{len(names_a & names_b) - bad_shared} identical, {len(bad)} differing/missing")
 sys.exit(1 if bad else 0)
