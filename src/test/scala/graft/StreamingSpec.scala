@@ -18,7 +18,17 @@ class StreamingSpec extends AnyFunSuite {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  /** Parse "yyyy-MM-dd HH:mm:ss" as a UTC instant. Timestamp.valueOf
+    * would interpret the wall-clock string in the JVM DEFAULT zone while
+    * every declared op runs under the session's pinned UTC — fine on a
+    * UTC host, but on a displaced host (TZ=Pacific/Kiritimati, +14) the
+    * instants shift and any test comparing against absolute calendar
+    * dates fails (caught by the round-13 displaced-TZ suite run: the
+    * q115 twin read every sighting one day early).
+    */
+  private def ts(s: String): Timestamp =
+    Timestamp.from(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC))
 
   private def checkpoint(): String =
     Files.createTempDirectory("graft-ckpt").toString
@@ -316,8 +326,11 @@ class StreamingSpec extends AnyFunSuite {
       "backup must be dropped after a successful swap")
   }
 
+  /** Micros-since-epoch of the same UTC instant `ts` builds — derived
+    * from it so the two can never disagree under a displaced host TZ.
+    */
   private def unixMicros(s: String): Long =
-    Timestamp.valueOf(s).getTime * 1000L
+    ts(s).getTime * 1000L
 
   case class Doc(doc_id: Long, ts: Timestamp, text: String, n_chars: Long)
 
