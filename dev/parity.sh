@@ -14,6 +14,10 @@
 #                 hints still apply; unhinted joins go sort-merge)
 #   rowreader   : non-vectorized Parquet reader + SortAggregate instead
 #                 of ObjectHashAggregate
+#   displacedtz : JVM default zone UTC+14 (Pacific/Kiritimati) — the
+#                 session zone stays pinned UTC; catches any code path
+#                 leaning on the host default (round-13 BUILDLOG: this
+#                 axis found a latent StreamingSpec fixture bug)
 # Requires a prior `sbt compile`. Exit 0 iff every mode is identical.
 set -e
 SF=${1:-/root/testdata/sf0.01}
@@ -30,8 +34,9 @@ declare -A MODES=(
   [interpreted]="-Dspark.sql.codegen.wholeStage=false -Dspark.sql.codegen.factoryMode=NO_CODEGEN"
   [nojoinopt]="-Dspark.sql.adaptive.enabled=false -Dspark.sql.autoBroadcastJoinThreshold=-1"
   [rowreader]="-Dspark.sql.parquet.enableVectorizedReader=false -Dspark.sql.execution.useObjectHashAggregateExec=false"
+  [displacedtz]="-Duser.timezone=Pacific/Kiritimati"
 )
-for mode in interpreted nojoinopt rowreader; do
+for mode in interpreted nojoinopt rowreader displacedtz; do
   echo "=== mode: $mode (${MODES[$mode]})"
   run "/tmp/parity_$mode" ${MODES[$mode]}
   if python3 "$(dirname "$0")"/compare_outputs.py "$BASE" "/tmp/parity_$mode" | tail -1; then
