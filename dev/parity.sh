@@ -18,6 +18,10 @@
 #                 session zone stays pinned UTC; catches any code path
 #                 leaning on the host default (round-13 BUILDLOG: this
 #                 axis found a latent StreamingSpec fixture bug)
+#   trlocale    : Turkish default locale + ISO-8859-9 default charset —
+#                 the dotless-I / comma-decimal / non-UTF8 hazard trio
+#                 for any toUpperCase/format/getBytes without an
+#                 explicit Locale.ROOT / StandardCharsets.UTF_8
 # Requires a prior `sbt compile`. Exit 0 iff every mode is identical.
 set -e
 SF=${1:-/root/testdata/sf0.01}
@@ -35,8 +39,9 @@ declare -A MODES=(
   [nojoinopt]="-Dspark.sql.adaptive.enabled=false -Dspark.sql.autoBroadcastJoinThreshold=-1"
   [rowreader]="-Dspark.sql.parquet.enableVectorizedReader=false -Dspark.sql.execution.useObjectHashAggregateExec=false"
   [displacedtz]="-Duser.timezone=Pacific/Kiritimati"
+  [trlocale]="-Duser.language=tr -Duser.country=TR -Dfile.encoding=ISO-8859-9"
 )
-for mode in interpreted nojoinopt rowreader displacedtz; do
+for mode in interpreted nojoinopt rowreader displacedtz trlocale; do
   echo "=== mode: $mode (${MODES[$mode]})"
   run "/tmp/parity_$mode" ${MODES[$mode]}
   if python3 "$(dirname "$0")"/compare_outputs.py "$BASE" "/tmp/parity_$mode" | tail -1; then
