@@ -22,6 +22,13 @@
 #                 the dotless-I / comma-decimal / non-UTF8 hazard trio
 #                 for any toUpperCase/format/getBytes without an
 #                 explicit Locale.ROOT / StandardCharsets.UTF_8
+#   kryo        : Kryo serializer (the common cluster config; routes
+#                 broadcast state — MinHash vocab, IVF centroids —
+#                 through Kryo instead of Java serialization)
+#   ansioff     : spark.sql.ansi.enabled=false (no declared result may
+#                 depend on ANSI vs legacy arithmetic/cast semantics)
+# Thread/partition-count independence (SPARK_GRAFT_CPUS=7/16/32) is a
+# separate env-var axis: run this script under each count if needed.
 # Requires a prior `sbt compile`. Exit 0 iff every mode is identical.
 set -e
 SF=${1:-/root/testdata/sf0.01}
@@ -40,8 +47,10 @@ declare -A MODES=(
   [rowreader]="-Dspark.sql.parquet.enableVectorizedReader=false -Dspark.sql.execution.useObjectHashAggregateExec=false"
   [displacedtz]="-Duser.timezone=Pacific/Kiritimati"
   [trlocale]="-Duser.language=tr -Duser.country=TR -Dfile.encoding=ISO-8859-9"
+  [kryo]="-Dspark.serializer=org.apache.spark.serializer.KryoSerializer"
+  [ansioff]="-Dspark.sql.ansi.enabled=false"
 )
-for mode in interpreted nojoinopt rowreader displacedtz trlocale; do
+for mode in interpreted nojoinopt rowreader displacedtz trlocale kryo ansioff; do
   echo "=== mode: $mode (${MODES[$mode]})"
   run "/tmp/parity_$mode" ${MODES[$mode]}
   if python3 "$(dirname "$0")"/compare_outputs.py "$BASE" "/tmp/parity_$mode" | tail -1; then
