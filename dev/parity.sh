@@ -27,8 +27,21 @@
 #                 through Kryo instead of Java serialization)
 #   ansioff     : spark.sql.ansi.enabled=false (no declared result may
 #                 depend on ANSI vs legacy arithmetic/cast semantics)
+#   offheap     : Tungsten off-heap execution memory + off-heap parquet
+#                 column vectors (the memory-tuned cluster config; moves
+#                 sort/agg/join buffers and scan batches off the JVM heap)
+#   nopushdown  : spark.sql.parquet.filterPushdown=false — every filter
+#                 evaluated post-scan by Spark instead of inside the
+#                 parquet reader (results may never depend on pushdown;
+#                 note PushedFilters: in EXPLAIN still lists the
+#                 TRANSLATED filters — the conf gates reader use, not the
+#                 plan display, so parity is the only end-to-end proof)
+# Flag landing for every mode is probe-verified: `sbt "Test/runMain
+# graft.ConfProbe"` with/without the mode's flags in JAVA_TOOL_OPTIONS
+# (same -Dspark.* route; BUILDLOG round 13).
 # Thread/partition-count independence (SPARK_GRAFT_CPUS=7/16/32) is a
 # separate env-var axis: run this script under each count if needed.
+# PARITY_MODES="offheap nopushdown" runs a subset (default: all).
 # Requires a prior `sbt compile`. Exit 0 iff every mode is identical.
 set -e
 SF=${1:-/root/testdata/sf0.01}
@@ -49,8 +62,10 @@ declare -A MODES=(
   [trlocale]="-Duser.language=tr -Duser.country=TR -Dfile.encoding=ISO-8859-9"
   [kryo]="-Dspark.serializer=org.apache.spark.serializer.KryoSerializer"
   [ansioff]="-Dspark.sql.ansi.enabled=false"
+  [offheap]="-Dspark.memory.offHeap.enabled=true -Dspark.memory.offHeap.size=2g -Dspark.sql.columnVector.offheap.enabled=true"
+  [nopushdown]="-Dspark.sql.parquet.filterPushdown=false"
 )
-for mode in interpreted nojoinopt rowreader displacedtz trlocale kryo ansioff; do
+for mode in ${PARITY_MODES:-interpreted nojoinopt rowreader displacedtz trlocale kryo ansioff offheap nopushdown}; do
   echo "=== mode: $mode (${MODES[$mode]})"
   run "/tmp/parity_$mode" ${MODES[$mode]}
   if python3 "$(dirname "$0")"/compare_outputs.py "$BASE" "/tmp/parity_$mode" | tail -1; then
