@@ -20,6 +20,31 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(!(Tables.read(spark, TestSpark.sf0001, "region") eq a))
   }
 
+  test("a failed build caches nothing and the retry rebuilds cleanly") {
+    // The cancellation-safety contract: getOrBuild's put happens AFTER the
+    // build returns, so a build aborted mid-flight (cancelled Spark job,
+    // interrupted checkpoint, OOM) must leave NO entry under its tag — the
+    // next call re-runs the build instead of handing out a poisoned value.
+    // Deterministic by construction (no jobs involved; any thrown build
+    // exercises the same path a cancelled action does).
+    val tag = "spec-failed-build"
+    val boom = intercept[RuntimeException] {
+      SessionCache.getOrBuild[AnyRef](spark, tag) {
+        throw new RuntimeException("build aborted")
+      }
+    }
+    assert(boom.getMessage == "build aborted")
+    var built = 0
+    val v = SessionCache.getOrBuild[AnyRef](spark, tag) {
+      built += 1; "rebuilt"
+    }
+    assert(built == 1 && v == "rebuilt",
+      "the failed attempt must not have cached anything under the tag")
+    // And the recovered value is now a normal hit.
+    val again = SessionCache.getOrBuild[AnyRef](spark, tag) { fail("hit expected") }
+    assert(again eq v)
+  }
+
   test("lazyLocalCheckpoint pins the source plan and stays correct") {
     import spark.implicits._
     val before = SessionCache.pinCount
