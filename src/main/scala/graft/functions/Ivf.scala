@@ -52,11 +52,18 @@ object Ivf {
     when(isnan(s - s), lit(Double.PositiveInfinity)).otherwise(s)
   }
 
-  /** Cluster id (0-based) of the nearest centroid, first-min tie-break. */
-  def assignment(e: Column, centroids: Array[Array[Double]]): Column = {
-    val scores = array(centroids.toIndexedSeq.map(c => centroidScore(e, c)): _*)
-    (array_position(scores, array_min(scores)) - 1).cast("int")
-  }
+  /** Cluster id (0-based) of the nearest centroid, first-min tie-break.
+    * Zero centroids (train() over an empty slice — routine for a
+    * date-partitioned corpus) must still RESOLVE: `array()` of no columns
+    * is NullType and fails analysis inside array_position, crashing the
+    * whole query before Spark ever sees that no rows flow. A null id is
+    * correct for the zero rows that could consume it. */
+  def assignment(e: Column, centroids: Array[Array[Double]]): Column =
+    if (centroids.isEmpty) lit(null).cast("int")
+    else {
+      val scores = array(centroids.toIndexedSeq.map(c => centroidScore(e, c)): _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
 
   /** Session-lifetime index cache for trainCached. Trained centroids are a
     * few KB (nlist × dim doubles); entries live for the JVM. */
@@ -148,7 +155,12 @@ object Ivf {
     // centroidScore ranks identically to true squared distance within a row
     // (the dropped x·x term is per-row constant), which is all the probe
     // selection needs.
-    val dists = array(centroids.toIndexedSeq.map(c => centroidScore(col("e"), c)): _*)
+    // Same empty-centroid resolution hazard as assignment(): a typed empty
+    // array keeps the plan analyzable; slice/transform over it probe zero
+    // buckets, so an empty corpus yields an empty result, not a crash.
+    val dists =
+      if (centroids.isEmpty) typedLit(Seq.empty[Double])
+      else array(centroids.toIndexedSeq.map(c => centroidScore(col("e"), c)): _*)
     val probed = queries
       .withColumn("__dists", dists)
       .withColumn("__order",

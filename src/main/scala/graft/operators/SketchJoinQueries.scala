@@ -24,7 +24,20 @@ object SketchJoinQueries {
         val orders = Tables.read(s, dir, "orders")
         val customers = Tables.read(s, dir, "customer")
         val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
-        val bloom = urgent.stat.bloomFilter("o_custkey", 100000L, 0.03)
+        // stat.bloomFilter NPEs when the build side is EMPTY (Spark 4.1.2:
+        // BloomFilterAggregate's zero-row buffer is null and the driver
+        // deserializes it unguarded — "Cannot read the array length because
+        // buf is null"). An empty slice is routine for a date-partitioned
+        // 100 TB corpus, so substitute the semantically-exact value: a
+        // freshly-created filter over zero items, whose mightContain is
+        // false for every key — no urgent orders, no candidates. The catch
+        // costs nothing on non-empty input (same single aggregation job).
+        val bloom =
+          try urgent.stat.bloomFilter("o_custkey", 100000L, 0.03)
+          catch {
+            case _: NullPointerException =>
+              org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.03)
+          }
         val bbc = s.sparkContext.broadcast(bloom)
         val mightContain = udf((k: Long) => bbc.value.mightContain(k))
         val candidates = customers.filter(mightContain(col("c_custkey")))
