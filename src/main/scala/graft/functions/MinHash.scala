@@ -189,6 +189,10 @@ class MinHashAggregator(numHashes: Int)
 
   def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
   def reduce(buf: Array[Long], tokens: Seq[String]): Array[Long] = {
+    // Null token-sets reach reduce as-is (a typed Aggregator gets the raw
+    // column value — null text makes split/array_distinct null, not empty).
+    // Contribute nothing, like every built-in aggregate's null handling.
+    if (tokens == null) return buf
     var i = 0
     while (i < numHashes) {
       var m = buf(i)

@@ -56,7 +56,10 @@ object SketchJoinQueries {
         val e = Tables.events(s, dir)
         val cms = e.stat.countMinSketch("event_type", 0.001, 0.99, 42)
         val cbc = s.sparkContext.broadcast(cms)
-        val estimate = udf((t: String) => cbc.value.estimateCount(t))
+        // CountMinSketch skips nulls at BUILD time (Spark's agg updates on
+        // non-null only), so a null group key has no estimate — return null
+        // rather than NPE inside estimateCount (null-bearing sweep, r13).
+        val estimate = udf((t: String) => Option(t).map(cbc.value.estimateCount(_)))
         e.groupBy("event_type").agg(count(lit(1)).as("exact"))
           .withColumn("cms_estimate", estimate(col("event_type")))
           .orderBy("event_type")

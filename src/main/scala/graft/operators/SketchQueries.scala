@@ -260,7 +260,11 @@ object SketchQueries {
     QueryDef(
       "q54_udf_vowel_density",
       (s, dir) => {
-        val vowels = udf((text: String) => text.count(c => "aeiou".indexOf(c) >= 0).toLong)
+        // Option, not bare String=>Long: a Scala UDF over a nullable column
+        // receives null and NPEs (SQL contract: null in, null out) — found
+        // by the round-13 null-bearing sweep, pinned by NullInputSpec.
+        val vowels = udf((text: String) =>
+          Option(text).map(_.count(c => "aeiou".indexOf(c) >= 0).toLong))
         Tables.read(s, dir, "documents")
           .withColumn("n_vowels", vowels(col("text")))
           .select(col("doc_id"), col("n_vowels"),
