@@ -68,9 +68,15 @@ declare -A MODES=(
 for mode in ${PARITY_MODES:-interpreted nojoinopt rowreader displacedtz trlocale kryo ansioff offheap nopushdown}; do
   echo "=== mode: $mode (${MODES[$mode]})"
   run "/tmp/parity_$mode" ${MODES[$mode]}
-  if python3 "$(dirname "$0")"/compare_outputs.py "$BASE" "/tmp/parity_$mode" | tail -1; then
+  # NOT `if cmd | tail -1`: a pipeline's status is the LAST command's, so
+  # that form tests tail (always 0) and the DIFFERS branch is unreachable —
+  # a diff would print its count yet still exit 0 (caught round 13).
+  if cmp_out=$(python3 "$(dirname "$0")"/compare_outputs.py "$BASE" "/tmp/parity_$mode"); then
+    echo "$cmp_out" | tail -1
     echo "=== $mode: IDENTICAL"
   else
+    echo "$cmp_out" | tail -1
+    echo "$cmp_out" | grep '^DIFF' | head -20
     echo "=== $mode: DIFFERS (see above)"; rc=1
   fi
 done

@@ -132,17 +132,16 @@ object SketchQueries {
         val v0 = Tables.read(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("e"))
           .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
-        val withPlanes = planes.zipWithIndex.foldLeft(v0) { case (df, (plane, i)) =>
-          df.withColumn(s"plane$i", typedLit(plane))
-        }
-        val bucketCols = (0 until nTables).map { t =>
-          (0 until k).map { j =>
-            val p = t * k + j
-            when(expr(s"graft_dot(e, plane$p)") > 0, lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ + _)
-        }
-        val melted = withPlanes
-          .withColumn("buckets", array(bucketCols: _*))
+        // All L×k bucket ids in ONE fused codegen expression (bit-identical
+        // to the earlier 16-column when(graft_dot(e, plane_p) > 0, …) fold,
+        // pinned by PropertySpec). The compositional form generated a
+        // scan-filter method at HotSpot's 8 KB huge-method limit — one
+        // conjunct away from silently losing JIT compilation, which the
+        // round-13 corpus gate demonstrated live as a 5× per-task
+        // inflation on a byte-identical plan (see LshBuckets scaladoc).
+        val melted = v0
+          .withColumn("buckets", call_function("graft_lsh_buckets",
+            col("e"), typedLit(planes), lit(k)))
           .select(col("vec_id"),
             posexplode(col("buckets")).as(Seq("tbl", "bucket")))
         val cand = melted.filter(col("vec_id") < 20)

@@ -37,12 +37,22 @@ object VectorQueries {
       .withColumn("nrm", expr("sqrt(graft_dot(e, e))"))
   }
 
+  /** The oracle twin of Tables.embeddingsClean's degenerate-vector gate:
+    * null / non-finite-element / zero-norm vectors excluded at the source,
+    * so Spark query and oracle SQL stay the SAME FUNCTION on every input,
+    * not just on the (degenerate-free) fixtures. d² = Σx² is NaN iff any
+    * element is NaN, +Inf iff any overflows, 0 iff all-zero. */
+  private[operators] val oracleVecGate =
+    """embedding IS NOT NULL
+      | AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+      | AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0""".stripMargin
+
   /** Oracle CTE computing the identical doubles. */
   private val oracleVecs =
-    """SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+    s"""SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
       |       sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
       |                                    x -> x * x))) AS nrm
-      |FROM embeddings""".stripMargin
+      |FROM embeddings WHERE $oracleVecGate""".stripMargin
 
   private val dotAB = "graft_dot(ae, be)"
   private val oracleDotAB =
@@ -70,12 +80,12 @@ object VectorQueries {
 
   /** The oracle twin of [[centroidMoments]], shared verbatim by the q100/
     * q126/q134 oracle SQL so the three cannot drift. */
-  private val oracleMomentsCte = """WITH t AS (
+  private val oracleMomentsCte = s"""WITH t AS (
           SELECT label,
                  UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
                  UNNEST(list_transform(embedding,
                    x -> CAST(x AS DOUBLE))) AS xd
-          FROM embeddings
+          FROM embeddings WHERE $oracleVecGate
         ),
         moments AS (
           SELECT label, CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
@@ -211,9 +221,9 @@ object VectorQueries {
             expr("CAST(CAST(aggregate(zip_with(e, reverse(e), (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) AS DECIMAL(18,9)) AS DOUBLE)")
               .as("palindot"))
           .orderBy("vec_id"),
-      Some("""
+      Some(s"""
         WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                   FROM embeddings)
+                   FROM embeddings WHERE $oracleVecGate)
         SELECT vec_id,
                CAST(len(e) AS BIGINT) AS dim,
                CAST(list_max(e) AS DECIMAL(18,6)) AS max_val,
@@ -296,10 +306,10 @@ object VectorQueries {
                 AS DECIMAL(18,12)) AS DOUBLE)""").as("mse"),
             expr("CAST(size(filter(q, v -> v = 0 OR v = 255)) AS BIGINT)").as("n_extreme"))
           .orderBy("vec_id"),
-      Some("""
+      Some(s"""
         WITH t AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings
+          FROM embeddings WHERE $oracleVecGate
         ),
         s AS (
           SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx,

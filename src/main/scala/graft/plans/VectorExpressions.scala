@@ -109,6 +109,221 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_vec_ok(v)` — true iff the vector DEFINES a cosine: non-null, no
+  * null element, and its squared norm Σx² is finite and strictly positive
+  * (Σx² is NaN iff any element is NaN, +Inf iff any element overflows, 0
+  * iff all-zero; by Cauchy–Schwarz a finite positive norm on both sides
+  * bounds every cosine inside [-1, 1]).
+  *
+  * Why one expression instead of composing `graft_dot` comparisons: the
+  * source gate (Tables.embeddingsClean) runs inside every embeddings scan,
+  * and some consumers (q52's plane-literal plans) execute with whole-stage
+  * codegen disabled, where Catalyst does no subexpression elimination — a
+  * three-conjunct formulation re-evaluated graft_dot per conjunct per scan
+  * and cost q52 a measured +0.7 s warm median. One fused loop, one call per
+  * row, no allocation.
+  *
+  * A null element yields FALSE (not null): the vector defines no cosine,
+  * which is the property being asked. A null array stays null-in/null-out
+  * (the gate's filter drops it either way). */
+case class VectorDefined(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == DoubleType || t == FloatType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_ok expects one array<float|double> argument, got " +
+          s"${child.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_vec_ok"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elementsNullable: Boolean =
+    child.dataType match { case ArrayType(_, n) => n; case _ => false }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = isFloat
+    val checkNulls = elementsNullable
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (checkNulls && x.isNullAt(i)) return false
+      val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
+    !java.lang.Double.isNaN(s) && s > 0.0 && s < Double.PositiveInfinity
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
+      val v = ctx.freshName("v")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i)) { $bad = true; break; }"
+        else ""
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  final double $v = $get;
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = !$bad && !Double.isNaN($s) && $s > 0.0 &&
+         |  $s < Double.POSITIVE_INFINITY;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorDefined =
+    copy(child = newChild)
+}
+
+/** `graft_lsh_buckets(v, planes, k)` — multi-table random-hyperplane LSH
+  * bucket ids in ONE fused expression: table t's bucket is the k-bit sign
+  * pattern Σ_j (dot(v, planes[t·k+j]) > 0 ? 1<<j : 0); returns
+  * `array<long>` of length planes.length / k.
+  *
+  * Why fused (the q52 huge-method lesson): the compositional formulation —
+  * 16 `when(graft_dot(v, plane_p) > 0, …)` columns folded into an array —
+  * generated a scan-filter method sitting exactly at HotSpot's 8 KB
+  * huge-method bytecode limit (`DontCompileHugeMethods`). It JIT-compiled
+  * by luck; adding ANY conjunct (the round-13 degenerate-vector gate, 69
+  * chars) tipped the method over the limit, HotSpot silently refused to
+  * compile it, and the whole filter ran as interpreted bytecode — a
+  * measured 5× per-task inflation with a byte-identical query plan. One
+  * loop nest over a referenced `double[][]` emits ~30 lines of generated
+  * code regardless of table count, so the method stays compilable at any
+  * L×k and the plan is no longer one conjunct away from a silent cliff.
+  *
+  * Semantics are bit-identical to the compositional form (pinned by
+  * PropertySpec): dot widens each element to double and folds
+  * left-to-right (the graft_dot contract); a null ELEMENT makes every dot
+  * null, every `null > 0` CASE falls to its 0 branch, and the buckets are
+  * all-zero — reproduced here as an explicit null-element scan. A null
+  * vector is null-in/null-out. Planes and k are build-time constants
+  * (foldable literals), referenced — never inlined — by the generated
+  * code. */
+case class LshBuckets(child: Expression, planes: Seq[Seq[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  // Seq in the constructor keeps case-class equality structural (Array
+  // fields compare by reference and would defeat expression
+  // canonicalization); the tight loops index the primitive view.
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == DoubleType || t == FloatType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_buckets expects array<float|double> input, got " +
+          s"${child.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elementsNullable: Boolean =
+    child.dataType match { case ArrayType(_, n) => n; case _ => false }
+  private def nTables: Int = planes.length / k
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val f = isFloat
+    val res = new Array[Long](nTables)
+    var anyNull = false
+    if (elementsNullable) {
+      var i = 0
+      val m = x.numElements()
+      while (i < m && !anyNull) { anyNull = x.isNullAt(i); i += 1 }
+    }
+    if (!anyNull) {
+      var t = 0
+      while (t < nTables) {
+        var b = 0L
+        var j = 0
+        while (j < k) {
+          val plane = planesArr(t * k + j)
+          val n = math.min(x.numElements(), plane.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            s += (if (f) x.getFloat(i).toDouble else x.getDouble(i)) * plane(i)
+            i += 1
+          }
+          // Spark's double ordering ranks NaN above every value, so the
+          // compositional `graft_dot > 0` this replaces is TRUE for a NaN
+          // dot — mirror that, not Java's NaN-false comparison.
+          if (s > 0.0 || java.lang.Double.isNaN(s)) b |= (1L << j)
+          j += 1
+        }
+        res(t) = b
+        t += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ps = ctx.addReferenceObj("planes", planesArr, "double[][]")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val b = ctx.freshName("b")
+      val res = ctx.freshName("res"); val pl = ctx.freshName("pl")
+      val anyNull = ctx.freshName("anyNull")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val nullScan =
+        if (elementsNullable)
+          s"""for (int $i = 0; $i < $a.numElements() && !$anyNull; $i++) {
+             |  $anyNull = $a.isNullAt($i);
+             |}""".stripMargin
+        else ""
+      s"""
+         |final long[] $res = new long[$nTables];
+         |boolean $anyNull = false;
+         |$nullScan
+         |if (!$anyNull) {
+         |  for (int $t = 0; $t < $nTables; $t++) {
+         |    long $b = 0L;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      final double[] $pl = $ps[$t * $k + $j];
+         |      final int $n = Math.min($a.numElements(), $pl.length);
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $s += $get * $pl[$i];
+         |      }
+         |      if ($s > 0.0 || Double.isNaN($s)) { $b |= (1L << $j); }
+         |    }
+         |    $res[$t] = $b;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** ONE SQL builder per graft function, shared by BOTH registration paths
     * (session-registry [[register]] and [[GraftExtensions]]) — the literal/
@@ -148,6 +363,36 @@ object VectorFunctions {
     arity("graft_shingles", "graft_shingles(tokens, n)", 2)(exprs)
     GramShingles(exprs(0), foldableInt("graft_shingles", "n", exprs(1)))
   }
+  private[plans] val vecOkBuilder: Seq[Expression] => Expression = { exprs =>
+    arity("graft_vec_ok", "graft_vec_ok(v)", 1)(exprs)
+    VectorDefined(exprs(0))
+  }
+
+  private def foldablePlanes(fn: String, e: Expression): Seq[Seq[Double]] = {
+    val ok = e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => e.foldable
+      case _ => false
+    }
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: planes must be a foldable ARRAY<ARRAY<DOUBLE>> literal, got ${e.sql}")
+    e.eval() match {
+      case ad: ArrayData =>
+        ad.toArray[ArrayData](ArrayType(DoubleType, containsNull = false))
+          .map(_.toDoubleArray.toSeq).toSeq
+      case _ => throw new IllegalArgumentException(s"$fn: planes must not be NULL")
+    }
+  }
+
+  private[plans] val lshBuilder: Seq[Expression] => Expression = { exprs =>
+    arity("graft_lsh_buckets", "graft_lsh_buckets(v, planes, k)", 3)(exprs)
+    val planes = foldablePlanes("graft_lsh_buckets", exprs(1))
+    val k = foldableInt("graft_lsh_buckets", "k", exprs(2))
+    if (k < 1 || k > 63 || planes.isEmpty || planes.length % k != 0)
+      throw new IllegalArgumentException(
+        s"graft_lsh_buckets: need 1 <= k <= 63 and a plane count that is a " +
+          s"multiple of k, got k=$k with ${planes.length} planes")
+    LshBuckets(exprs(0), planes, k)
+  }
 
   /** Registers `graft_dot(a, b)` and `graft_topk(score, id, k)` in the
     * session so the public `expr` API can reach the custom expressions.
@@ -177,6 +422,8 @@ object VectorFunctions {
     ensure("graft_topk")(topkBuilder)
     ensure("graft_minhash")(minhashBuilder)
     ensure("graft_shingles")(shinglesBuilder)
+    ensure("graft_vec_ok")(vecOkBuilder)
+    ensure("graft_lsh_buckets")(lshBuilder)
   }
 }
 
@@ -212,5 +459,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GramShingles].getCanonicalName, "graft_shingles"),
       VectorFunctions.shinglesBuilder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_vec_ok"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorDefined].getCanonicalName, "graft_vec_ok"),
+      VectorFunctions.vecOkBuilder))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_buckets"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshBuckets].getCanonicalName, "graft_lsh_buckets"),
+      VectorFunctions.lshBuilder))
   }
 }

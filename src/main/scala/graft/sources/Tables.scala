@@ -29,10 +29,48 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.SessionCache.getOrBuild(spark, s"table:$dir/$name") {
       name match {
-        case "events" => events(spark, dir)
-        case t        => spark.read.parquet(s"$dir/$t.parquet")
+        case "events"     => events(spark, dir)
+        case "embeddings" => embeddingsClean(spark, dir)
+        case t            => spark.read.parquet(s"$dir/$t.parquet")
       }
     }
+
+  /** The embeddings corpus with degenerate vectors excluded at the source —
+    * the vector-space twin of [[normalizeEventTs]]: ONE sanitation point so
+    * no query ever sees a vector that defines no cosine.
+    *
+    * A vector is degenerate when it is null, contains a non-finite element,
+    * or has zero norm. All three reach the same failure through plain
+    * arithmetic: cos = dot/(‖a‖·‖b‖) becomes 0/0 or NaN/Inf, and Spark's
+    * double semantics then turn corruption SILENT — NaN sorts above every
+    * double (a corrupt vector tops every descending rank) and `NaN > t` is
+    * TRUE (it passes every near-dup threshold) — or LOUD under ANSI (the
+    * zero vector's 0/0 raises DIVIDE_BY_ZERO; DegenerateVectorSpec recorded
+    * q43/q44/q52/q86 crashing before this gate existed).
+    *
+    * The predicate is graft_vec_ok (plans.VectorDefined): ONE fused
+    * squared-norm pass per row — `d² = Σx²` is NaN iff any element is NaN,
+    * +Inf iff any element overflows, and 0 iff the vector is all-zero — and
+    * by Cauchy–Schwarz a finite positive norm on both sides bounds every
+    * downstream cosine inside [-1, 1], so ONE scan-level filter makes every
+    * ranking, threshold, and decimal cast in the vector surface total.
+    * (A first formulation composed three graft_dot comparisons; q52's
+    * plane-literal plans run with whole-stage codegen disabled, where no
+    * subexpression elimination exists, and the re-evaluated dots cost a
+    * measured +0.7 s warm median — hence the dedicated expression.)
+    * Fixture impact: zero — all three fixture scales carry no degenerate
+    * vectors (verified; pinned by DegenerateVectorSpec's clean-fixture
+    * test), so declared results are unchanged. At 100 TB the gate is a
+    * per-row scan predicate (no shuffle, no state) — exactly where a
+    * corrupt-embedding quarantine belongs. */
+  def embeddingsClean(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.VectorFunctions.register(spark)
+    // The explicit isNotNull is redundant with graft_vec_ok's null
+    // intolerance but reaches the parquet reader as a pushed filter
+    // (row-group pruning on null pages); the custom predicate cannot.
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("embedding").isNotNull && expr("graft_vec_ok(embedding)"))
+  }
 
   /** The ONE ts normalization shared by the batch reader and the streaming
     * replay (StreamingOps.fileReplay): the lambda parity guarantee

@@ -100,6 +100,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_lsh_buckets equals the when(graft_dot > 0) compositional fold") {
+    // Pins the round-13 q52 rewrite: the fused L×k bucket expression
+    // replaced a 16-column when(graft_dot(e, plane_p) > 0, 1<<j) fold whose
+    // generated filter method sat at HotSpot's 8 KB huge-method limit (the
+    // corpus gate's one extra conjunct tipped it into never-JIT-compiled,
+    // 5× per-task). Random vectors — finite values, NaN, ±Inf, zeros, null
+    // elements, dims 0..80 (shorter AND longer than the planes) — must
+    // bucket bit-identically under both formulations, including the
+    // null-element case (null dot → CASE falls to 0 → all-zero buckets).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.VectorFunctions.register(spark)
+    val nTables = 4
+    val k = 4
+    val planes: Seq[Seq[Double]] = (0 until nTables * k).map { p =>
+      (0 until 64).map { d =>
+        val h: Int = (scala.util.hashing.MurmurHash3.productHash((p, d)): @scala.annotation.nowarn("cat=deprecation"))
+        (h % 1000) / 1000.0
+      }
+    }
+    val elemGen: Gen[java.lang.Double] = Gen.frequency(
+      12 -> Gen.choose(-2.0, 2.0).map(java.lang.Double.valueOf),
+      1 -> Gen.const(java.lang.Double.valueOf(Double.NaN)),
+      1 -> Gen.const(java.lang.Double.valueOf(Double.PositiveInfinity)),
+      1 -> Gen.const(java.lang.Double.valueOf(0.0)),
+      1 -> Gen.const(null: java.lang.Double))
+    val vecGen = Gen.choose(0, 80).flatMap(len => Gen.listOfN(len, elemGen))
+    val rows = Gen.listOfN(150, vecGen).sample.get
+    val df = rows.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(Option(_).map(_.doubleValue))) }
+      .toDF("id", "e")
+    val withPlanes = planes.zipWithIndex.foldLeft(df) { case (d, (plane, i)) =>
+      d.withColumn(s"plane$i", typedLit(plane))
+    }
+    val bucketCols = (0 until nTables).map { t =>
+      (0 until k).map { j =>
+        val p = t * k + j
+        when(expr(s"graft_dot(e, plane$p)") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val bad = withPlanes
+      .withColumn("compositional", array(bucketCols: _*))
+      .withColumn("fused",
+        call_function("graft_lsh_buckets", col("e"), typedLit(planes), lit(k)))
+      .filter(not(col("fused") <=> col("compositional")))
+      .count()
+    assert(bad == 0L, s"$bad random vectors bucket differently between " +
+      "graft_lsh_buckets and the compositional formulation")
+  }
+
   test("bitmask OR-fold equals the explode→row_number→sum formulation") {
     // Pins the round-9 bitmask rewrite (VERDICT r9 #2): the shared mask
     // build behind three oracled queries (q33/q78/q133) replaced an
