@@ -247,36 +247,40 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Double]], k: Int)
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val f = isFloat
+    val checkNulls = elementsNullable
     val res = new Array[Long](nTables)
-    var anyNull = false
-    if (elementsNullable) {
-      var i = 0
-      val m = x.numElements()
-      while (i < m && !anyNull) { anyNull = x.isNullAt(i); i += 1 }
-    }
-    if (!anyNull) {
-      var t = 0
-      while (t < nTables) {
-        var b = 0L
-        var j = 0
-        while (j < k) {
-          val plane = planesArr(t * k + j)
-          val n = math.min(x.numElements(), plane.length)
-          var s = 0.0
-          var i = 0
-          while (i < n) {
+    var t = 0
+    while (t < nTables) {
+      var b = 0L
+      var j = 0
+      while (j < k) {
+        val plane = planesArr(t * k + j)
+        val n = math.min(x.numElements(), plane.length)
+        var s = 0.0
+        var nul = false
+        var i = 0
+        while (i < n && !nul) {
+          // Null handling must be PER PLANE and bounded by THAT plane's
+          // dot range, exactly like graft_dot's early exit: a null element
+          // at index >= len(plane) never enters the dot, so it must not
+          // zero the bucket (the first randomized equivalence run caught a
+          // whole-vector null prescan doing exactly that on a dim-65+
+          // vector whose only null sat past the planes' 64 dims).
+          if (checkNulls && x.isNullAt(i)) nul = true
+          else {
             s += (if (f) x.getFloat(i).toDouble else x.getDouble(i)) * plane(i)
             i += 1
           }
-          // Spark's double ordering ranks NaN above every value, so the
-          // compositional `graft_dot > 0` this replaces is TRUE for a NaN
-          // dot — mirror that, not Java's NaN-false comparison.
-          if (s > 0.0 || java.lang.Double.isNaN(s)) b |= (1L << j)
-          j += 1
         }
-        res(t) = b
-        t += 1
+        // Null dot -> CASE falls to 0: no bit. Spark's double ordering
+        // ranks NaN above every value, so the compositional
+        // `graft_dot > 0` this replaces is TRUE for a NaN dot — mirror
+        // that, not Java's NaN-false comparison.
+        if (!nul && (s > 0.0 || java.lang.Double.isNaN(s))) b |= (1L << j)
+        j += 1
       }
+      res(t) = b
+      t += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
   }
@@ -288,32 +292,31 @@ case class LshBuckets(child: Expression, planes: Seq[Seq[Double]], k: Int)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val b = ctx.freshName("b")
       val res = ctx.freshName("res"); val pl = ctx.freshName("pl")
-      val anyNull = ctx.freshName("anyNull")
+      val nul = ctx.freshName("nul")
       val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
-      val nullScan =
+      // Null check PER PLANE, bounded by that plane's dot range — the
+      // graft_dot early-exit contract (see nullSafeEval). Emitted only
+      // when the schema admits null elements.
+      val nullCheck =
         if (elementsNullable)
-          s"""for (int $i = 0; $i < $a.numElements() && !$anyNull; $i++) {
-             |  $anyNull = $a.isNullAt($i);
-             |}""".stripMargin
+          s"if ($a.isNullAt($i)) { $nul = true; break; }"
         else ""
       s"""
          |final long[] $res = new long[$nTables];
-         |boolean $anyNull = false;
-         |$nullScan
-         |if (!$anyNull) {
-         |  for (int $t = 0; $t < $nTables; $t++) {
-         |    long $b = 0L;
-         |    for (int $j = 0; $j < $k; $j++) {
-         |      final double[] $pl = $ps[$t * $k + $j];
-         |      final int $n = Math.min($a.numElements(), $pl.length);
-         |      double $s = 0.0;
-         |      for (int $i = 0; $i < $n; $i++) {
-         |        $s += $get * $pl[$i];
-         |      }
-         |      if ($s > 0.0 || Double.isNaN($s)) { $b |= (1L << $j); }
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $b = 0L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final double[] $pl = $ps[$t * $k + $j];
+         |    final int $n = Math.min($a.numElements(), $pl.length);
+         |    double $s = 0.0;
+         |    boolean $nul = false;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $nullCheck
+         |      $s += $get * $pl[$i];
          |    }
-         |    $res[$t] = $b;
+         |    if (!$nul && ($s > 0.0 || Double.isNaN($s))) { $b |= (1L << $j); }
          |  }
+         |  $res[$t] = $b;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($res);

@@ -128,7 +128,24 @@ class PropertySpec extends AnyFunSuite {
       1 -> Gen.const(java.lang.Double.valueOf(0.0)),
       1 -> Gen.const(null: java.lang.Double))
     val vecGen = Gen.choose(0, 80).flatMap(len => Gen.listOfN(len, elemGen))
-    val rows = Gen.listOfN(150, vecGen).sample.get
+    // Crafted rows pin the edges the random draw only sometimes produces,
+    // in particular the one a randomized run caught live (suite run 9,
+    // round 13): a null element PAST the planes' 64 dims must not zero the
+    // buckets, because graft_dot's fold never reaches it — the fused
+    // expression's first cut prescanned the whole vector for nulls and
+    // diverged exactly there.
+    val crafted: List[List[java.lang.Double]] = List(
+      // null only at index 67 of a dim-70 vector (outside every dot range)
+      List.tabulate[java.lang.Double](70)(i =>
+        if (i == 67) null else java.lang.Double.valueOf(0.5 - (i % 3) * 0.4)),
+      // null at index 0 (inside every dot range -> every bucket 0)
+      List.tabulate[java.lang.Double](64)(i =>
+        if (i == 0) null else java.lang.Double.valueOf(1.0)),
+      // all-NaN, all-zero, and empty
+      List.fill[java.lang.Double](64)(java.lang.Double.valueOf(Double.NaN)),
+      List.fill[java.lang.Double](64)(java.lang.Double.valueOf(0.0)),
+      List.empty[java.lang.Double])
+    val rows = crafted ++ Gen.listOfN(150, vecGen).sample.get
     val df = rows.zipWithIndex
       .map { case (v, i) => (i.toLong, v.map(Option(_).map(_.doubleValue))) }
       .toDF("id", "e")
