@@ -30,14 +30,17 @@ object SketchJoinQueries {
         // buf is null"). An empty slice is routine for a date-partitioned
         // 100 TB corpus, so substitute the semantically-exact value: a
         // freshly-created filter over zero items, whose mightContain is
-        // false for every key — no urgent orders, no candidates. The catch
-        // costs nothing on non-empty input (same single aggregation job).
+        // false for every key — no urgent orders, no candidates. Branch on
+        // emptiness EXPLICITLY rather than catching the NPE: a blanket
+        // catch would also swallow an NPE from any other driver-side cause
+        // (a future Spark version, a codegen bug) and silently convert it
+        // into an always-false filter — an empty join result instead of a
+        // visible failure (r13 ADVICE). isEmpty is a LIMIT-1 probe, cheap
+        // next to the full aggregation the non-empty branch runs.
         val bloom =
-          try urgent.stat.bloomFilter("o_custkey", 100000L, 0.03)
-          catch {
-            case _: NullPointerException =>
-              org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.03)
-          }
+          if (urgent.isEmpty)
+            org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.03)
+          else urgent.stat.bloomFilter("o_custkey", 100000L, 0.03)
         val bbc = s.sparkContext.broadcast(bloom)
         val mightContain = udf((k: Long) => bbc.value.mightContain(k))
         val candidates = customers.filter(mightContain(col("c_custkey")))

@@ -38,12 +38,19 @@ object VectorQueries {
   }
 
   /** The oracle twin of Tables.embeddingsClean's degenerate-vector gate:
-    * null / non-finite-element / zero-norm vectors excluded at the source,
-    * so Spark query and oracle SQL stay the SAME FUNCTION on every input,
-    * not just on the (degenerate-free) fixtures. d² = Σx² is NaN iff any
-    * element is NaN, +Inf iff any overflows, 0 iff all-zero. */
+    * null / null-element / non-finite-element / zero-norm vectors excluded
+    * at the source, so Spark query and oracle SQL stay the SAME FUNCTION on
+    * every input, not just on the (degenerate-free) fixtures. d² = Σx² is
+    * NaN iff any element is NaN, +Inf iff any overflows, 0 iff all-zero —
+    * but that norm probe alone does NOT see null ELEMENTS: DuckDB's
+    * list_sum skips them (e.g. [3.0, NULL, 4.0] sums to 25, finite and
+    * positive) while graft_vec_ok returns false, so the null-element
+    * conjunct below is load-bearing for the same-function contract on
+    * exactly the degenerate class the gate exists to align (r13 ADVICE;
+    * DegenerateVectorSpec's mod-4 poisoning row pins the Spark side). */
   private[operators] val oracleVecGate =
     """embedding IS NOT NULL
+      | AND len(list_filter(embedding, x -> x IS NULL)) = 0
       | AND isfinite(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
       | AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0""".stripMargin
 

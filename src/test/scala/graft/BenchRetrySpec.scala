@@ -92,6 +92,33 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.overBandCount(finals, Map("q_gone" -> 1.0)) === -1)
   }
 
+  test("overBandNames names exactly overBandCount's residue, worst first, capped") {
+    val band = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 1.0, "qz" -> 0.0)
+    val finals = Seq(
+      "qa" -> 0.9,   // quiet
+      "qb" -> 2.0,   // exactly the factor: NOT over (matches overBandCount)
+      "qc" -> 2.5,   // residue → named
+      "qd" -> 99.0,  // no band entry: no denominator, never named
+      "qz" -> 99.0,  // zero band entry: no ratio defined
+      "qe" -> -1.0)  // failed: loud in "failed", not here
+    assert(Bench.overBandNames(finals, band) === Seq("qc"))
+    assert(Bench.overBandNames(finals, band).size ===
+      Bench.overBandCount(finals, band))
+    // Quiet run / missing band: EMPTY → the key is absent from the line
+    // (the common case pays zero bytes; over_band alone carries 0 / -1).
+    assert(Bench.overBandNames(Seq("qa" -> 0.9), band) === Seq.empty)
+    assert(Bench.overBandNames(finals, Map.empty) === Seq.empty)
+    // Worst ratio first, and bounded by RetryCap so the one JSON line can
+    // never blow past the driver's tail capture even if the whole suite
+    // regresses (over_band's uncapped N still discloses the true count).
+    val wideBand = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
+    val wideFinals = (1 to 50).map(i => f"q$i%02d" -> (3.0 + i * 0.1))
+    val names = Bench.overBandNames(wideFinals, wideBand)
+    assert(names.size === Bench.RetryCap)
+    assert(names.head === "q50") // worst ratio leads
+    assert(Bench.overBandCount(wideFinals, wideBand) === 50) // uncapped count
+  }
+
   test("bandDriftMedian reports uniform load; spikes don't drag the median") {
     val band = Map("qa" -> 1.0, "qb" -> 2.0, "qc" -> 4.0)
     // Uniform 1.25x load reads as exactly 1.25.

@@ -28,7 +28,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Fixture: sf0.001 with embeddings poisoned by vec_id mod 7 —
   * 0 → NaN element, 1 → +Infinity element, 2 → all-zero vector,
-  * 3 → null vector; 4–6 untouched. Other tables copied as-is.
+  * 3 → null vector, 4 → null ELEMENT (non-null array); 5–6 untouched.
+  * Other tables copied as-is. The mod-4 row exists because the null-element
+  * class is where the Spark and DuckDB gates can silently diverge: DuckDB's
+  * list_sum SKIPS null elements (the norm probe alone passes
+  * [3.0, NULL, 4.0]) while graft_vec_ok rejects them — oracleVecGate
+  * carries a dedicated null-element conjunct to stay the same function
+  * (r13 ADVICE).
   */
 class DegenerateVectorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -40,7 +46,7 @@ class DegenerateVectorSpec extends AnyFunSuite {
     "q84_embedding_quantization", "q86_ivf_ann", "q94_semantic_dedup",
     "q100_label_centroids", "q126_centroid_distances", "q134_label_separability")
 
-  private val poisonedMods = Seq(0L, 1L, 2L, 3L)
+  private val poisonedMods = Seq(0L, 1L, 2L, 3L, 4L)
 
   private lazy val degDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-degvec-sf").toString
@@ -59,6 +65,8 @@ class DegenerateVectorSpec extends AnyFunSuite {
           "transform(embedding, (x, i) -> IF(i = 0, CAST('Infinity' AS FLOAT), x))"))
         .when(m === 2, expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
         .when(m === 3, lit(null).cast("array<float>"))
+        .when(m === 4, expr(
+          "transform(embedding, (x, i) -> IF(i = 0, CAST(NULL AS FLOAT), x))"))
         .otherwise(col("embedding")))
       .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
     dir
