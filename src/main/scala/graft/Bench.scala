@@ -108,9 +108,28 @@ object Bench {
     else usable.count { case (n, t) => t > factor * band(n) }
   }
 
+  /** Cap for [[overBandNames]], deliberately smaller than [[RetryCap]]
+    * (r14 ADVICE): a saturated run carries BOTH lists — 16 retried names
+    * (~390 B) plus the 15-slowest map (~470 B) plus fixed keys (~140 B) —
+    * so 16 over-band names (~390 B more) could push the one stdout line
+    * past the driver's ~1 KB tail capture exactly when over_band diagnosis
+    * matters. 8 names ≈ 200 B keeps the worst case borderline; the
+    * [[LineBudget]] guard in main() is the hard stop. 8 still names the
+    * whole residue of every over_band event this repo has ever recorded
+    * (max observed N = 1). */
+  val OverBandNamesCap = 8
+
+  /** Hard byte budget for the stdout JSON line (the driver's tail capture
+    * truncates ~1 KB; rounds 1-2 proved a 2.7 KB line arrives
+    * unparseable). main() drops the optional over_band_names key — never
+    * the over_band count — if the assembled line would exceed this; the
+    * untracked detail file always carries the full list. */
+  val LineBudget = 1000
+
   /** The queries behind "over_band":N, worst final/band ratio first, capped
     * at `cap` — emitted as "over_band_names":[...] (only when non-empty, so
-    * the common quiet line pays zero bytes; ≤RetryCap names keeps the line
+    * the common quiet line pays zero bytes; ≤[[OverBandNamesCap]] names
+    * plus the [[LineBudget]] guard keep the line
     * under the driver's ~1 KB tail capture). Before this key an over_band
     * residue outside the 15 inline slowest was UNIDENTIFIABLE from the
     * driver line alone — BENCH_r13's `over_band:1` took a judge session
@@ -125,7 +144,7 @@ object Bench {
     * disclosed by over_band still carrying the full N). */
   def overBandNames(finalTimes: Seq[(String, Double)],
       band: Map[String, Double], factor: Double = RetryFactor,
-      cap: Int = RetryCap): Seq[String] =
+      cap: Int = OverBandNamesCap): Seq[String] =
     retryPlan(finalTimes, band, factor, cap)
 
   /** Median of final/band per-query ratios — disclosed as "drift":X so the
@@ -275,19 +294,32 @@ object Bench {
     // "drift" = median final/band ratio: the uniform-load signature that
     // retries cannot and must not erase, disclosed so value/drift gives
     // the in-band equivalent off the line alone.
-    val overNames = overBandNames(results, band)
-    val overNamesJson =
-      if (overNames.isEmpty) ""
-      else overNames.map("\"" + _ + "\"")
-        .mkString(""","over_band_names":[""", ",", "]")
-    val overBandJson = s""","over_band":${overBandCount(results, band)}""" +
-      overNamesJson + s""","drift":${sec(bandDriftMedian(results, band))}"""
+    val overCount = overBandCount(results, band)
+    val drift = sec(bandDriftMedian(results, band))
+    def overJson(names: Seq[String]): String = {
+      val namesJson =
+        if (names.isEmpty) ""
+        else names.map("\"" + _ + "\"")
+          .mkString(""","over_band_names":[""", ",", "]")
+      s""","over_band":$overCount""" + namesJson + s""","drift":$drift"""
+    }
+    def jsonLine(queriesJson: String, names: Seq[String]): String =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$queriesJson$counts$failedJson$retriedJson${overJson(names)},"sf":"$sfDir"}"""
+    // Detail file: ALL queries and the uncapped residue list — a file has
+    // no tail-capture bound, so nothing is ever trimmed here.
     try {
       val w = new java.io.PrintWriter("bench_detail.out.json")
-      w.println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)}$counts$failedJson$retriedJson$overBandJson,"sf":"$sfDir"}""")
+      w.println(jsonLine(fmt(results), overBandNames(results, band, cap = Int.MaxValue)))
       w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(slowest)}$counts$failedJson$retriedJson$overBandJson,"sf":"$sfDir"}""")
+    // Stdout: ≤OverBandNamesCap residue names, then the LineBudget hard
+    // guard (r14 ADVICE): a saturated run carrying 16 retried names AND a
+    // named residue could still overflow the driver's ~1 KB tail capture,
+    // so the optional over_band_names key — never the over_band count —
+    // is dropped when the assembled line exceeds the budget; the detail
+    // file above keeps the full list regardless.
+    val line = jsonLine(fmt(slowest), overBandNames(results, band))
+    println(if (line.length <= LineBudget) line else jsonLine(fmt(slowest), Seq.empty))
     spark.stop()
   }
 }

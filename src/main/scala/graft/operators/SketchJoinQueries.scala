@@ -24,23 +24,27 @@ object SketchJoinQueries {
         val orders = Tables.read(s, dir, "orders")
         val customers = Tables.read(s, dir, "customer")
         val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
-        // stat.bloomFilter NPEs when the build side is EMPTY (Spark 4.1.2:
-        // BloomFilterAggregate's zero-row buffer is null and the driver
-        // deserializes it unguarded — "Cannot read the array length because
-        // buf is null"). An empty slice is routine for a date-partitioned
-        // 100 TB corpus, so substitute the semantically-exact value: a
-        // freshly-created filter over zero items, whose mightContain is
-        // false for every key — no urgent orders, no candidates. Branch on
+        // stat.bloomFilter NPEs when ZERO ITEMS reach the aggregate (Spark
+        // 4.1.2: BloomFilterAggregate's zero-item buffer is null and the
+        // driver deserializes it unguarded — "Cannot read the array length
+        // because buf is null"). That happens for an empty build slice AND
+        // for a non-empty slice whose build keys are all null (the agg
+        // skips nulls — r14 ADVICE), so the emptiness probe runs on the
+        // ACTUAL build keys: the non-null o_custkey slice, which is also
+        // what the non-empty branch feeds the filter. Both degenerate
+        // inputs get the semantically-exact substitute — a fresh filter
+        // over zero items, mightContain false for every key. Branch on
         // emptiness EXPLICITLY rather than catching the NPE: a blanket
         // catch would also swallow an NPE from any other driver-side cause
         // (a future Spark version, a codegen bug) and silently convert it
         // into an always-false filter — an empty join result instead of a
         // visible failure (r13 ADVICE). isEmpty is a LIMIT-1 probe, cheap
         // next to the full aggregation the non-empty branch runs.
+        val urgentKeys = urgent.filter(col("o_custkey").isNotNull)
         val bloom =
-          if (urgent.isEmpty)
+          if (urgentKeys.isEmpty)
             org.apache.spark.util.sketch.BloomFilter.create(100000L, 0.03)
-          else urgent.stat.bloomFilter("o_custkey", 100000L, 0.03)
+          else urgentKeys.stat.bloomFilter("o_custkey", 100000L, 0.03)
         val bbc = s.sparkContext.broadcast(bloom)
         val mightContain = udf((k: Long) => bbc.value.mightContain(k))
         val candidates = customers.filter(mightContain(col("c_custkey")))

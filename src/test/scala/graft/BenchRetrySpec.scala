@@ -108,13 +108,19 @@ class BenchRetrySpec extends AnyFunSuite {
     // (the common case pays zero bytes; over_band alone carries 0 / -1).
     assert(Bench.overBandNames(Seq("qa" -> 0.9), band) === Seq.empty)
     assert(Bench.overBandNames(finals, Map.empty) === Seq.empty)
-    // Worst ratio first, and bounded by RetryCap so the one JSON line can
-    // never blow past the driver's tail capture even if the whole suite
-    // regresses (over_band's uncapped N still discloses the true count).
+    // Worst ratio first, and bounded by OverBandNamesCap so the one JSON
+    // line can never blow past the driver's tail capture even if the whole
+    // suite regresses (over_band's uncapped N still discloses the true
+    // count). The cap sits BELOW RetryCap (r14 ADVICE): a saturated run
+    // carries 16 retried names on the same line, so 16 more here would
+    // risk the ~1 KB bound exactly when diagnosis matters — and main()'s
+    // LineBudget guard is the hard stop behind this soft cap.
     val wideBand = (1 to 50).map(i => f"q$i%02d" -> 1.0).toMap
     val wideFinals = (1 to 50).map(i => f"q$i%02d" -> (3.0 + i * 0.1))
     val names = Bench.overBandNames(wideFinals, wideBand)
-    assert(names.size === Bench.RetryCap)
+    assert(names.size === Bench.OverBandNamesCap)
+    assert(Bench.OverBandNamesCap === 8)
+    assert(Bench.OverBandNamesCap < Bench.RetryCap)
     assert(names.head === "q50") // worst ratio leads
     assert(Bench.overBandCount(wideFinals, wideBand) === 50) // uncapped count
   }
