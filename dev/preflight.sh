@@ -59,7 +59,10 @@ for sf in sf0.01 sf0.001; do
 done
 
 echo "=== [4/4] leak-shape grep"
-hits=$(grep -rEin "s3://|gs://|hdfs://[a-z]|slack\.com|slack channel|anthropic|api[_-]key|secret[_-]key" \
+# Each literal is written with a [c] character class so the pattern
+# line cannot match itself when this script scans dev/ (first run of
+# this gate REFUSED on exactly that self-match).
+hits=$(grep -rEin "s[3]://|g[s]://|hdfs://[a-z]|slack[.]com|slack[ ]channel|anthro[p]ic|api[_-]ke[y]|secret[_-]ke[y]" \
   src/ dev/ build.sbt project/ 2>/dev/null | grep -v "sbt.internal" || true)
 if [ -n "$hits" ]; then
   echo "$hits"
