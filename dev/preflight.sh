@@ -23,7 +23,10 @@
 #
 # On success, prints the suite summary line to quote in BUILDLOG.
 set -u
-cd "$(dirname "$0")/.."
+# Guarded cd (r15 ADVICE): under set -u without set -e an unchecked cd
+# failure would run every later step — clean-tree check, suite, leak
+# grep — against the CALLER's directory and could PASS the wrong tree.
+cd "$(dirname "$0")/.." || { echo "REFUSE: cannot cd to repo root"; exit 1; }
 log=/tmp/preflight_$(date +%s)
 mkdir -p "$log"
 fail=0
@@ -41,8 +44,13 @@ if sbt test > "$log/sbt_test.log" 2>&1; then
   grep -E "Tests: succeeded|All tests passed" "$log/sbt_test.log" | tail -2
 else
   tail -20 "$log/sbt_test.log"
+  # Short-circuit (r15 ADVICE): a red suite already decides the verdict;
+  # running both multi-minute verify passes first only delays the REFUSE
+  # signal this gate exists to give quickly. Fix the suite, re-run the
+  # whole gate — the later steps get their turn at the green tree.
   echo "REFUSE: sbt test is red."
-  fail=1
+  echo "PREFLIGHT: REFUSED (suite red — verify skipped; see $log/)"
+  exit 1
 fi
 
 echo "=== [3/4] driver-faithful verify at sf0.01 and sf0.001"

@@ -121,10 +121,23 @@ object Bench {
 
   /** Hard byte budget for the stdout JSON line (the driver's tail capture
     * truncates ~1 KB; rounds 1-2 proved a 2.7 KB line arrives
-    * unparseable). main() drops the optional over_band_names key — never
-    * the over_band count — if the assembled line would exceed this; the
-    * untracked detail file always carries the full list. */
+    * unparseable). main() degrades the line through [[budgetedLine]]'s
+    * ladder — over_band_names dropped first, then the failed NAMES (never
+    * the n_failed count) — until it fits; the untracked detail file
+    * always carries the full lists. */
   val LineBudget = 1000
+
+  /** First candidate line within [[LineBudget]], else the last one
+    * unconditionally. Callers order candidates most- to least-detailed
+    * (r15 ADVICE: the failed list was unbounded — a mass-failure run,
+    * e.g. a missing fixture dir, carried up to 134 failed names ≈ 3+ KB
+    * past the driver's ~1 KB tail capture exactly when diagnosis
+    * mattered most). The last candidate must be bounded by construction:
+    * in main() that is the line with BOTH optional name lists dropped —
+    * 15-slowest map (~470 B) + counts (~40 B) + ≤RetryCap retried names
+    * (~390 B) + over_band/drift (~40 B) ≈ 940 B worst case. */
+  def budgetedLine(candidates: Seq[String]): String =
+    candidates.find(_.length <= LineBudget).getOrElse(candidates.last)
 
   /** The queries behind "over_band":N, worst final/band ratio first, capped
     * at `cap` — emitted as "over_band_names":[...] (only when non-empty, so
@@ -281,9 +294,9 @@ object Bench {
     // was read as a full-suite number because nothing on the line said
     // otherwise. A partial sum must be impossible to mistake for a full one.
     val counts = s""","n_ok":${runs.count(_._3)},"n_failed":${failed.size}"""
-    val failedJson =
-      if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    def failedJson(names: Seq[String]): String =
+      if (names.isEmpty) ""
+      else names.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     // Always present (even empty): "no retries happened" must be readable
     // off the line, not inferred from a missing key.
     val retriedJson =
@@ -303,23 +316,29 @@ object Bench {
           .mkString(""","over_band_names":[""", ",", "]")
       s""","over_band":$overCount""" + namesJson + s""","drift":$drift"""
     }
-    def jsonLine(queriesJson: String, names: Seq[String]): String =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$queriesJson$counts$failedJson$retriedJson${overJson(names)},"sf":"$sfDir"}"""
-    // Detail file: ALL queries and the uncapped residue list — a file has
-    // no tail-capture bound, so nothing is ever trimmed here.
+    def jsonLine(queriesJson: String, names: Seq[String],
+        failedNames: Seq[String]): String =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$queriesJson$counts${failedJson(failedNames)}$retriedJson${overJson(names)},"sf":"$sfDir"}"""
+    // Detail file: ALL queries, the uncapped residue list, and the full
+    // failed list — a file has no tail-capture bound, nothing is trimmed.
     try {
       val w = new java.io.PrintWriter("bench_detail.out.json")
-      w.println(jsonLine(fmt(results), overBandNames(results, band, cap = Int.MaxValue)))
+      w.println(jsonLine(fmt(results),
+        overBandNames(results, band, cap = Int.MaxValue), failed))
       w.close()
     } catch { case _: Throwable => () }
-    // Stdout: ≤OverBandNamesCap residue names, then the LineBudget hard
-    // guard (r14 ADVICE): a saturated run carrying 16 retried names AND a
-    // named residue could still overflow the driver's ~1 KB tail capture,
-    // so the optional over_band_names key — never the over_band count —
-    // is dropped when the assembled line exceeds the budget; the detail
-    // file above keeps the full list regardless.
-    val line = jsonLine(fmt(slowest), overBandNames(results, band))
-    println(if (line.length <= LineBudget) line else jsonLine(fmt(slowest), Seq.empty))
+    // Stdout: ≤OverBandNamesCap residue names, then the budgetedLine
+    // ladder (r14+r15 ADVICE): a saturated run carrying 16 retried names
+    // AND a named residue — or a mass-failure run carrying up to 134
+    // failed names — could overflow the driver's ~1 KB tail capture. The
+    // optional over_band_names key is dropped first, then the failed
+    // NAMES (never the over_band count or n_failed — the counts must
+    // survive every degradation); the detail file keeps the full lists.
+    val over = overBandNames(results, band)
+    println(budgetedLine(Seq(
+      jsonLine(fmt(slowest), over, failed),
+      jsonLine(fmt(slowest), Seq.empty, failed),
+      jsonLine(fmt(slowest), Seq.empty, Seq.empty))))
     spark.stop()
   }
 }

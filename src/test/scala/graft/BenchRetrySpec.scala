@@ -162,4 +162,25 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.parseBandSf(bandLine) === Some("/root/testdata/sf0.1"))
     assert(Bench.parseBandSf("""{"queries":{"qa":1.0}}""") === None)
   }
+
+  test("budgetedLine degrades to the first in-budget candidate, last wins") {
+    // r15 ADVICE: the failed list was unbounded — a mass-failure run (134
+    // failed names ≈ 3+ KB) blew the driver's ~1 KB tail capture exactly
+    // when diagnosis mattered. main() now hands budgetedLine the ladder
+    // [full, no over_band_names, no failed names]; the counts survive
+    // every rung because they live outside the dropped keys.
+    val fits = "x" * Bench.LineBudget          // exactly at budget: kept
+    val over = "y" * (Bench.LineBudget + 1)    // one past: dropped
+    assert(Bench.budgetedLine(Seq(fits, "z")) === fits)
+    assert(Bench.budgetedLine(Seq(over, fits)) === fits)
+    assert(Bench.budgetedLine(Seq(over, "z")) === "z")
+    // No candidate fits → the last (bounded-by-construction) one is
+    // emitted regardless: a too-long line beats NO line.
+    assert(Bench.budgetedLine(Seq(over, over + "!")) === over + "!")
+    // A 134-name failed list alone exceeds the budget — the exact r15
+    // ADVICE scenario this ladder exists for.
+    val massFailure = (1 to 134)
+      .map(i => f""""q$i%03d_some_query_name"""").mkString(""","failed":[""", ",", "]")
+    assert(massFailure.length > Bench.LineBudget)
+  }
 }
