@@ -119,7 +119,14 @@ object RetentionQueries {
           .select(col("l_partkey"), Q.dec2(col("l_extendedprice")).as("p"))
         val perPart = li.groupBy("l_partkey")
           .agg((sum(col("p")) * 100).cast("long").as("value_cents"))
-        val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+        // The CORPUS total is the one corpus-linear accumulator left in
+        // this query after the r15 ×2000 widen: a BIGINT sum fits 100 TB
+        // nominal with only ~4× headroom and a boundary-price corpus
+        // (6000 × 9.9e15 cents ≈ 5.9e19 > 2^63) overflows it LOUDLY
+        // (ANSI). Widened to DECIMAL(38,0) like the compare — per-part
+        // value_cents stays BIGINT (rows-per-part bounded, ~3e17 max).
+        val total = perPart.agg(sum(col("value_cents").cast("decimal(38,0)"))
+          .as("total_cents"))
         perPart.crossJoin(broadcast(total))
           .filter(col("value_cents").cast("decimal(38,0)") * 2000 >
             col("total_cents"))
@@ -137,7 +144,8 @@ object RetentionQueries {
           GROUP BY l_partkey
         ),
         tot AS (
-          SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM per_part
+          SELECT CAST(SUM(CAST(value_cents AS DECIMAL(38,0)))
+            AS DECIMAL(38,0)) AS total_cents FROM per_part
         )
         SELECT l_partkey, value_cents,
                CAST(CAST(CAST(value_cents AS DOUBLE) / total_cents

