@@ -214,7 +214,14 @@ object TextQueries {
             abs(dec2(col("l_extendedprice"))).cast("double").as("price_abs"),
             round(dec2(col("l_extendedprice")), 1).cast("decimal(18,1)").cast("double").as("price_round1"),
             sqrt(col("l_quantity")).cast("decimal(18,9)").cast("double").as("qty_sqrt"),
-            pow(lit(2), col("l_linenumber")).cast("long").as("pow2_line"),
+            // l_linenumber enumerates lines WITHIN an order: TPC-H-shaped
+            // data caps it at 7, but a 10^5-line mega-order (the skew
+            // axis's class) legally reaches past 62, where 2^n leaves
+            // BIGINT — caught by the skew parity matrix (r16: the ansioff
+            // run produced the rows the ANSI base run aborted on with
+            // CAST_OVERFLOW). Windowed mod 63 on BOTH sides: identity on
+            // the organic 1..7 domain, total on any BIGINT linenumber.
+            pow(lit(2), col("l_linenumber") % 63).cast("long").as("pow2_line"),
             signum(col("l_discount") - 0.05).cast("long").as("disc_sign"),
             greatest(dec4(col("l_tax")), dec4(col("l_discount"))).cast("double").as("max_rate"),
             (col("l_quantity").cast("long") % 7).as("qty_mod7"))
@@ -226,7 +233,7 @@ object TextQueries {
                abs(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_abs,
                CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS price_round1,
                CAST(sqrt(l_quantity) AS DECIMAL(18,9)) AS qty_sqrt,
-               CAST(pow(2, l_linenumber) AS BIGINT) AS pow2_line,
+               CAST(pow(2, l_linenumber % 63) AS BIGINT) AS pow2_line,
                CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
                CAST(greatest(CAST(l_tax AS DECIMAL(18,4)), CAST(l_discount AS DECIMAL(18,4)))
                     AS DECIMAL(18,4)) AS max_rate,

@@ -13,8 +13,9 @@ class RegistrySmokeSpec extends AnyFunSuite {
 
   Registry.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
-      val n = q.fn(spark, TestSpark.sf0001).count()
-      assert(n >= 0)
+      // Full-column materialization (TestSpark.materialize scaladoc):
+      // count() would let Catalyst prune a throwing column.
+      TestSpark.materialize(q.fn(spark, TestSpark.sf0001))
     }
   }
 

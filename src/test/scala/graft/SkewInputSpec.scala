@@ -144,7 +144,11 @@ class SkewInputSpec extends AnyFunSuite {
 
   Registry.all.foreach { q =>
     test(s"${q.name} executes on duplicate-key skew") {
-      assert(q.fn(spark, skewDir).count() >= 0)
+      // Full-column materialization, not count(): count lets Catalyst
+      // prune the very expression the pathological value detonates
+      // (q30's pow2_line passed a count() pin here, then aborted
+      // Verify — r16 skew parity finding).
+      TestSpark.materialize(q.fn(spark, skewDir))
     }
   }
 

@@ -1,8 +1,24 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object TestSpark {
+
+  /** Materialize EVERY output column of `df` (noop v2 sink — evaluates
+    * each row in full, discards it, stays distributed).
+    *
+    * The robustness-axis execution pins originally forced queries with
+    * `.count() >= 0`, which lets Catalyst PRUNE the projection: a
+    * column whose expression throws on the fixture's pathological
+    * values passes the pin and then aborts the driver-faithful Verify,
+    * which materializes everything. That blind spot was real, not
+    * hypothetical — round 16's skew parity matrix caught q30's
+    * `pow(2, l_linenumber)` CAST_OVERFLOW on the mega-order's 10³+
+    * linenumbers AFTER SkewInputSpec's count() pin had passed it. Every
+    * axis loop forces through this helper now, so an execution pin
+    * certifies the same evaluation surface Verify runs. */
+  def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
