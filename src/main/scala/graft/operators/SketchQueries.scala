@@ -264,17 +264,24 @@ object SketchQueries {
         // by the round-13 null-bearing sweep, pinned by NullInputSpec.
         val vowels = udf((text: String) =>
           Option(text).map(_.count(c => "aeiou".indexOf(c) >= 0).toLong))
+        // NULLIF on the divisor: a zero-length document (boundary axis)
+        // makes the density 0/0, which ANSI double division THROWS on —
+        // caught by the r16 materialized pins (the old count() pin pruned
+        // the column). NULL is the honest density of an empty text, and
+        // both engines agree on it structurally; organic n_chars > 0 is
+        // untouched.
         Tables.read(s, dir, "documents")
           .withColumn("n_vowels", vowels(col("text")))
           .select(col("doc_id"), col("n_vowels"),
-            (col("n_vowels").cast("double") / col("n_chars"))
+            (col("n_vowels").cast("double") / nullif(col("n_chars"), lit(0)))
               .cast("decimal(18,6)").cast("double").as("vowel_density"))
           .orderBy("doc_id")
       },
       Some("""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels,
-               CAST(CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE) / n_chars
+               CAST(CAST(len(regexp_extract_all(text, '[aeiou]')) AS DOUBLE)
+                    / NULLIF(n_chars, 0)
                     AS DECIMAL(18,6)) AS vowel_density
         FROM documents ORDER BY doc_id
       """.stripMargin.trim))

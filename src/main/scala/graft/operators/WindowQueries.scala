@@ -420,9 +420,20 @@ object WindowQueries {
         FROM c GROUP BY n_name
       )
       SELECT n_name, n, sum_bal,
-             CAST(CAST((sxx - sx*sx/n) / (n-1) AS DECIMAL(18,4)) AS DOUBLE) AS var_bal,
-             CAST(CAST(SQRT((sxx - sx*sx/n) / (n-1)) AS DECIMAL(18,4)) AS DOUBLE) AS std_bal,
-             CAST(CAST((n*sxy - sx*sy) / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy))
+             -- DECIMAL(38,4), not (18,4): the rounding gate must hold the
+             -- DOMAIN bound, not the fixture's. |x| <= 1e16 (DECIMAL(18,2)
+             -- class) puts variance at up to ~1e32 and std at ~1e16 — the
+             -- (18,4) gate aborted (NUMERIC_VALUE_OUT_OF_RANGE) on the
+             -- boundary fixture's legal +-9.9e9 balances the moment the
+             -- r16 materialized pins stopped count() from pruning it.
+             -- Same scale 4/6, so organic outputs are byte-identical.
+             -- NULLIF guards the three zero-able divisors (singleton
+             -- group -> n-1 = 0; zero-variance group -> corr denominator
+             -- 0): ANSI double division THROWS on zero, and NULL is the
+             -- honest undefined-statistic value on both engines.
+             CAST(CAST((sxx - sx*sx/n) / NULLIF(n-1, 0) AS DECIMAL(38,4)) AS DOUBLE) AS var_bal,
+             CAST(CAST(SQRT((sxx - sx*sx/n) / NULLIF(n-1, 0)) AS DECIMAL(38,4)) AS DOUBLE) AS std_bal,
+             CAST(CAST((n*sxy - sx*sy) / NULLIF(SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy), 0)
                   AS DECIMAL(18,6)) AS DOUBLE) AS corr_bal_key
       FROM agg
       ORDER BY n_name
