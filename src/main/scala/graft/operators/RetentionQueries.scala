@@ -564,8 +564,14 @@ object RetentionQueries {
           .select(col("l_partkey"), Q.dec2(col("l_extendedprice")).as("p"))
           .groupBy("l_partkey")
           .agg((sum(col("p")) * 100).cast("long").as("v"))
+        // total is CORPUS-linear — DECIMAL(38,0) like q112's (the r15
+        // sweep widened the bin index below but left this sum BIGINT;
+        // the r16 combined skew x boundary sweep detonated it at 6e19
+        // cents). minv/maxv stay BIGINT: they are single per-part values,
+        // bounded like q112's value_cents.
         val bounds = perPart.agg(min(col("v")).as("minv"),
-          max(col("v")).as("maxv"), sum(col("v")).as("total"))
+          max(col("v")).as("maxv"),
+          sum(col("v").cast("decimal(38,0)")).as("total"))
         // Materialize once (LAZILY — eager would execute the pipeline at
         // construction, during schema/plan-only inspections; pinned
         // against the accumulator race — see SessionCache.pin): both the
@@ -588,23 +594,32 @@ object RetentionQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val wScan = Window.orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = binned.groupBy("bin").agg(sum(col("v")).as("bv"))
-          .withColumn("before", coalesce(sum(col("bv")).over(wScan), lit(0L)))
+        // Every cumulative below is also corpus-linear (a bin/prefix/class
+        // can hold most of the corpus), so all of them accumulate in
+        // DECIMAL(38,0) — the cum_d/tot_d recasts the old code applied
+        // AFTER the BIGINT sums are gone, the compares run on the exact
+        // decimals directly. revenue_cents alone converts back to BIGINT:
+        // that is the declared OUTPUT type — nominal 100 TB fits with ~5x
+        // headroom (class A <= total ~ 2.3e18 cents), and a boundary-price
+        // corpus beyond it fails LOUD at this one output cast with every
+        // internal compare already exact.
+        val vDec = col("v").cast("decimal(38,0)")
+        val offsets = binned.groupBy("bin").agg(sum(vDec).as("bv"))
+          .withColumn("before", coalesce(sum(col("bv")).over(wScan),
+            lit(0).cast("decimal(38,0)")))
           .select("bin", "before")
         binned
-          .withColumn("local_cum", sum(col("v")).over(wBin))
+          .withColumn("local_cum", sum(vDec).over(wBin))
           .join(broadcast(offsets), "bin")
           .withColumn("cum", col("before") + col("local_cum"))
-          .withColumn("cum_d", col("cum").cast("decimal(38,0)"))
-          .withColumn("tot_d", col("total").cast("decimal(38,0)"))
           .withColumn("cls",
-            when(col("cum_d") * 100 <= col("tot_d") * 80, "A")
-              .when(col("cum_d") * 100 <= col("tot_d") * 95, "B")
+            when(col("cum") * 100 <= col("total") * 80, "A")
+              .when(col("cum") * 100 <= col("total") * 95, "B")
               .otherwise("C"))
           .groupBy("cls")
           .agg(count(lit(1)).as("n_parts"),
-            sum(col("v")).as("revenue_cents"),
-            Q.out6(sum(col("v")).cast("double") / max(col("total")))
+            sum(vDec).cast("long").as("revenue_cents"),
+            Q.out6(sum(vDec).cast("double") / max(col("total")))
               .as("revenue_share"))
           .orderBy("cls")
       },

@@ -256,6 +256,33 @@ class BoundaryInputSpec extends AnyFunSuite {
       s"shares over the full corpus must sum to ~1, got ${shares.sum}")
   }
 
+  test("q129 survives a corpus whose TOTAL cents exceed 2^63") {
+    // q129's twin of the q112 pin above, from the r16 combined
+    // skew x boundary sweep: the r15 repair widened q129's bin INDEX but
+    // left the corpus total and every bin/prefix/class cumulative in
+    // BIGINT. Price chosen so the narrow window between the two bounds is
+    // exercised: 6000 lineitems x 1.66e13 dollars -> corpus total
+    // 9.96e18 cents, past Long.MaxValue (so the old internal BIGINT sums
+    // detonate — reproduced: ARITHMETIC_OVERFLOW pre-widen), while class
+    // A holds <= ~8e18 cents, still inside the declared BIGINT
+    // revenue_cents OUTPUT type (which is the documented contract bound,
+    // loud beyond). Green = internals exact in DECIMAL(38,0), output
+    // exact BIGINT, shares sum to ~1.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-corpus-overflow-q129").toString
+    spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .withColumn("l_extendedprice", lit(1.66e13))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val out = Registry.queries("q129_pareto_classes")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val cents = out.map(_.getAs[Long]("revenue_cents"))
+    assert(cents.forall(_ > 0L))
+    assert(cents.map(BigInt(_)).sum === BigInt(6000) * 1660000000000000L,
+      "class revenues must partition the exact corpus total")
+    val shares = out.map(_.getAs[Double]("revenue_share"))
+    assert(math.abs(shares.sum - 1.0) <= out.length * 5e-7)
+  }
+
   test("100%-discount lines flow through revenue aggregates as exact zeros") {
     // q01's per-flag sums include mod-17-5 lines whose revenue
     // price*(1-1.0) is exactly 0 — the aggregate must execute and stay
