@@ -289,8 +289,13 @@ object AnalyticsQueries {
             out6(sum(when(col("p_type").startsWith("PROMO"), col("rev"))
               .otherwise(lit(0).cast("decimal(18,4)")))).as("promo_rev"),
             out6(sum(col("rev"))).as("total_rev"))
+          // NULLIF: rev is SIGN-MIXED (returns/corrections are negative,
+          // 100%-discount lines are zero), so a year's total can legally
+          // sum to exactly 0 — ANSI division then throws where NULL is
+          // the honest undefined share (r16 domain audit, q23/q54 class).
           .withColumn("promo_share",
-            (col("promo_rev").cast("double") / col("total_rev").cast("double"))
+            (col("promo_rev").cast("double") /
+              nullif(col("total_rev"), lit(0)).cast("double"))
               .cast("decimal(18,9)").cast("double"))
           .select("yr", "promo_rev", "total_rev", "promo_share")
           .orderBy("yr")
@@ -310,7 +315,8 @@ object AnalyticsQueries {
           FROM r GROUP BY yr
         )
         SELECT yr, promo_rev, total_rev,
-               CAST(CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+               CAST(CAST(promo_rev AS DOUBLE)
+                    / CAST(NULLIF(total_rev, 0) AS DOUBLE)
                     AS DECIMAL(18,9)) AS promo_share
         FROM agg ORDER BY yr
       """.stripMargin.trim)),

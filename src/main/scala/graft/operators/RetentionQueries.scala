@@ -131,7 +131,11 @@ object RetentionQueries {
           .filter(col("value_cents").cast("decimal(38,0)") * 2000 >
             col("total_cents"))
           .select(col("l_partkey"), col("value_cents"),
-            Q.out6(col("value_cents").cast("double") / col("total_cents"))
+            // NULLIF: value_cents is sign-mixed (negative corrections are
+            // legal), so the corpus total can sum to exactly 0 — NULL
+            // share instead of an ANSI throw (r16 domain audit).
+            Q.out6(col("value_cents").cast("double") /
+              nullif(col("total_cents"), lit(0)))
               .as("share"))
           .orderBy(col("value_cents").desc, col("l_partkey"))
       },
@@ -148,7 +152,7 @@ object RetentionQueries {
             AS DECIMAL(38,0)) AS total_cents FROM per_part
         )
         SELECT l_partkey, value_cents,
-               CAST(CAST(CAST(value_cents AS DOUBLE) / total_cents
+               CAST(CAST(CAST(value_cents AS DOUBLE) / NULLIF(total_cents, 0)
                  AS DECIMAL(38,6)) AS DOUBLE) AS share
         FROM per_part CROSS JOIN tot
         WHERE CAST(value_cents AS DECIMAL(38,0)) * 2000 > total_cents
@@ -619,7 +623,8 @@ object RetentionQueries {
           .groupBy("cls")
           .agg(count(lit(1)).as("n_parts"),
             sum(vDec).cast("long").as("revenue_cents"),
-            Q.out6(sum(vDec).cast("double") / max(col("total")))
+            // NULLIF: same sign-mixed-total rationale as q112's share.
+            Q.out6(sum(vDec).cast("double") / nullif(max(col("total")), lit(0)))
               .as("revenue_share"))
           .orderBy("cls")
       },
@@ -645,7 +650,7 @@ object RetentionQueries {
                     ELSE 'C' END AS cls,
                COUNT(*) AS n_parts,
                CAST(SUM(v) AS BIGINT) AS revenue_cents,
-               CAST(CAST(CAST(SUM(v) AS DOUBLE) / MAX(total)
+               CAST(CAST(CAST(SUM(v) AS DOUBLE) / NULLIF(MAX(total), 0)
                  AS DECIMAL(38,6)) AS DOUBLE) AS revenue_share
         FROM ranked
         GROUP BY cls

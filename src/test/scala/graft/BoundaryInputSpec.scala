@@ -283,6 +283,47 @@ class BoundaryInputSpec extends AnyFunSuite {
     assert(math.abs(shares.sum - 1.0) <= out.length * 5e-7)
   }
 
+  test("revenue shares stay defined (NULL, not a throw) on a net-zero corpus") {
+    // r16 domain audit, the q23/q54 class one step further: cents sums are
+    // SIGN-MIXED (negative corrections are legal), so a slice's total can
+    // sum to EXACTLY zero, and the share divisions over it must yield the
+    // honest NULL instead of an ANSI abort. Fixture: lineitem unioned with
+    // its own negation (prices negated, orderkeys offset so rows stay
+    // distinct) — every l_shipdate year's revenue pair-cancels to exactly
+    // 0 (q75's denominator), and the corpus total does too (q129's). A
+    // second variant also shifts partkeys so per-part values stay nonzero
+    // while the corpus total is 0 (q112's share actually evaluates).
+    // Red-proofed: pre-guard engines abort the division on these corpora.
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    def negated(shiftParts: Boolean) = {
+      val n = li.withColumn("l_extendedprice", -col("l_extendedprice"))
+        .withColumn("l_orderkey", col("l_orderkey") + 10000000L)
+      if (shiftParts) n.withColumn("l_partkey", col("l_partkey") + 1000L) else n
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft-netzero-a").toString
+    li.unionByName(negated(shiftParts = false))
+      .coalesce(1).write.parquet(s"$dirA/lineitem.parquet")
+    spark.read.parquet(s"${TestSpark.sf0001}/part.parquet")
+      .coalesce(1).write.parquet(s"$dirA/part.parquet")
+    // q75: every year's total_rev is exactly 0 -> promo_share all NULL.
+    val q75 = Registry.queries("q75_promo_revenue_share")(spark, dirA).collect()
+    assert(q75.nonEmpty)
+    assert(q75.forall(_.isNullAt(q75.head.fieldIndex("promo_share"))),
+      "net-zero years must report NULL promo_share, not a value or a throw")
+    // q129: corpus total exactly 0 -> classes still form, shares all NULL.
+    val q129 = Registry.queries("q129_pareto_classes")(spark, dirA).collect()
+    assert(q129.nonEmpty)
+    assert(q129.forall(_.isNullAt(q129.head.fieldIndex("revenue_share"))))
+    // q112 variant: per-part values nonzero, corpus total exactly 0 ->
+    // positive parts pass the x2000 filter and their share is NULL.
+    val dirB = java.nio.file.Files.createTempDirectory("graft-netzero-b").toString
+    li.unionByName(negated(shiftParts = true))
+      .coalesce(1).write.parquet(s"$dirB/lineitem.parquet")
+    val q112 = Registry.queries("q112_part_value_share")(spark, dirB).collect()
+    assert(q112.nonEmpty, "positive parts must pass the share filter")
+    assert(q112.forall(_.isNullAt(q112.head.fieldIndex("share"))))
+  }
+
   test("100%-discount lines flow through revenue aggregates as exact zeros") {
     // q01's per-flag sums include mod-17-5 lines whose revenue
     // price*(1-1.0) is exactly 0 — the aggregate must execute and stay
