@@ -304,21 +304,26 @@ object RetentionQueries {
     QueryDef(
       "q117_daily_trend",
       (s, dir) => {
+        // The per-day sum is itself CORPUS-linear (a day legally holds any
+        // corpus fraction): DECIMAL(38,0), not BIGINT — r16 domain audit,
+        // the q129 internal-accumulator class (y feeds the moment math
+        // below, so it must stay exact past 2^63, not fail there).
         val daily = eventsDay(s, dir)
           .withColumn("cents", round(col("value") * 100).cast("long"))
           .groupBy("event_type", "day")
-          .agg(sum(col("cents")).as("y"))
+          .agg(sum(col("cents").cast("decimal(38,0)")).as("y"))
           .withColumn("x", datediff(col("day"), to_date(lit("2024-01-01")))
             .cast("long"))
         // Products go DECIMAL-first: x*y in BIGINT would wrap past 2^63 at
         // the daily-spend magnitudes the 100 TB claim implies (silently in
-        // non-ANSI Spark, as an error in DuckDB). Decimal×decimal is exact.
+        // non-ANSI Spark, as an error in DuckDB). Decimal×decimal is exact;
+        // x rides in DECIMAL(9,0) (day index, domain ≤ ~1e5) so the wide-y
+        // product caps at DECIMAL(38,0) identically in both engines.
         daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"),
             sum(col("x").cast("decimal(38,0)")).as("sx"),
-            sum(col("y").cast("decimal(38,0)")).as("sy"),
-            sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
-              .as("sxy"),
+            sum(col("y")).as("sy"),
+            sum(col("x").cast("decimal(9,0)") * col("y")).as("sxy"),
             sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
               .as("sxx"))
           // A single observed day has det = 0 (no slope exists): Spark's
@@ -338,7 +343,7 @@ object RetentionQueries {
           SELECT event_type,
                  CAST(date_diff('day', DATE '2024-01-01',
                    CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
-                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DECIMAL(38,0)) AS y
           FROM events
           GROUP BY event_type, date_trunc('day', ts)
         ),
@@ -346,8 +351,8 @@ object RetentionQueries {
           SELECT event_type,
                  COUNT(*) AS n_days,
                  SUM(CAST(x AS DECIMAL(38,0))) AS sx,
-                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+                 SUM(y) AS sy,
+                 SUM(CAST(x AS DECIMAL(9,0)) * y) AS sxy,
                  SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
           FROM daily
           GROUP BY event_type

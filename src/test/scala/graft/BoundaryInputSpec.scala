@@ -283,6 +283,33 @@ class BoundaryInputSpec extends AnyFunSuite {
     assert(math.abs(shares.sum - 1.0) <= out.length * 5e-7)
   }
 
+  test("q117 survives a single DAY whose cents exceed 2^63") {
+    // The q129 internal-accumulator class in the events domain: q117's
+    // per-day cents sum is corpus-linear (a day legally holds any corpus
+    // fraction) and FEEDS the moment math, so it must stay exact past
+    // 2^63 rather than fail there. Fixture: organic events plus 10
+    // replicas pinned to one day at the 9.9e13 value edge — that day's
+    // per-type sum ≈ 2e19 cents, past Long.MaxValue (red-proofed:
+    // ARITHMETIC_OVERFLOW on the pre-widen BIGINT sum), while organic
+    // days keep every type at n_days >= 2 so the trend is defined.
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val burst = (1 to 10).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 1000000L))
+        .withColumn("value", lit(9.9e13))
+        .withColumn("ts", expr("TIMESTAMP_NTZ'2024-01-05 12:00:00'"))
+    }.reduce(_ unionByName _)
+    val dir = java.nio.file.Files.createTempDirectory("graft-megaday").toString
+    ev.unionByName(burst).coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = Registry.queries("q117_daily_trend")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 2L)
+      val (s, i) = (r.getAs[Double]("slope"), r.getAs[Double]("intercept"))
+      assert(!s.isNaN && !s.isInfinite && !i.isNaN && !i.isInfinite,
+        s"trend must stay finite on the mega-day corpus, got slope=$s intercept=$i")
+    }
+  }
+
   test("revenue shares stay defined (NULL, not a throw) on a net-zero corpus") {
     // r16 domain audit, the q23/q54 class one step further: cents sums are
     // SIGN-MIXED (negative corrections are legal), so a slice's total can
