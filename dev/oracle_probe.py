@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Oracle-side DECIMAL semantics probe — pins the DuckDB behaviors the
+q112/q117/q129 wide-decimal arithmetic RELIES on, at magnitudes the
+organic fixtures never reach (so verify cannot see them drift).
+
+r16 ADVICE (medium) questioned q117's sxy = DECIMAL(9,0) * DECIMAL(38,0):
+DuckDB's nominal multiply width rule is w1+w2 = 47 > 38, which the
+advisor expected to fall back to DOUBLE (silent exactness loss past 2^53)
+or bind-error. Empirically (duckdb 1.0.0, the driver's oracle): the
+product binds as DECIMAL(38,0) and is EXACT — same cap Spark applies
+(p1+p2+1 clamped to 38). This script asserts that, so a DuckDB version
+bump that changes the rule REFUSES the preflight instead of silently
+degrading the oracle.
+
+Pinned behaviors (each beyond-organic, each load-bearing):
+  1. DECIMAL(9,0) * DECIMAL(38,0) binds as DECIMAL(38,0), exact at >2^63.
+  2. The full q117 moment shape (SUM(x9 * y)) is exact at mega-day
+     magnitudes (y ~ 2.7e22, far past 2^63).
+  3. Product overflow past 38 digits fails LOUD (Out of Range), not as a
+     silent DOUBLE fallback — the seam vs Spark's non-ANSI NULL sits at
+     >=1e38 products, unreachable in-domain (per-day cents < ~1e24 at
+     100 TB x day-index < 1e5 ~ 1e29).
+  4. KNOWN HAZARD, documented not relied-on: DuckDB SUM(DECIMAL(38,0))
+     accumulates in int128 and WRAPS SILENTLY past ~1.7e38 (no error).
+     Spark's sum NULLs/aborts there instead. All corpus-linear DECIMAL
+     sums in the engine carry a domain bound far below 1e38 (BUILDLOG
+     r17 cast-width audit), so the wraparound region is unreachable;
+     this assertion exists so a duckdb upgrade that FIXES it to loud is
+     noticed and the comment updated.
+
+Run: python3 dev/oracle_probe.py   (preflight runs it as step 4/5; exit 0
+= all pins hold, exit 1 with the failing pin named otherwise.)
+"""
+import sys
+
+import duckdb
+
+FAIL = []
+
+
+def pin(name, cond, detail=""):
+    if not cond:
+        FAIL.append(f"{name}: {detail}")
+
+
+con = duckdb.connect()
+
+# -- pin 1: width-47 multiply binds DECIMAL(38,0) and stays exact --------
+t = con.execute(
+    "DESCRIBE SELECT CAST(1 AS DECIMAL(9,0)) * CAST(1 AS DECIMAL(38,0)) p"
+).fetchall()
+pin("9x38_binds_decimal38", t[0][1] == "DECIMAL(38,0)", f"bound as {t[0][1]}")
+
+x, y = 99991, 9223372036854775807123  # y > 2^63
+r = con.execute(
+    f"SELECT CAST({x} AS DECIMAL(9,0)) * CAST({y} AS DECIMAL(38,0))"
+).fetchone()[0]
+pin("9x38_exact_past_2e63", int(r) == x * y, f"got {r}, want {x*y}")
+
+# -- pin 2: the q117 moment shape at mega-day magnitudes -----------------
+ys = [9223372036854775807123, 18446744073709551614246, 27670116110564327421369]
+vals = ", ".join(f"({i}, {v}::HUGEINT)" for i, v in enumerate(ys))
+r = con.execute(f"""
+    WITH daily(x, yraw) AS (VALUES {vals}),
+    d AS (SELECT CAST(x AS DECIMAL(9,0)) x9, CAST(yraw AS DECIMAL(38,0)) y
+          FROM daily)
+    SELECT SUM(x9 * y), SUM(y) FROM d
+""").fetchone()
+want_sxy = sum(i * v for i, v in enumerate(ys))
+pin("q117_sxy_exact_megaday", int(r[0]) == want_sxy, f"got {r[0]}, want {want_sxy}")
+pin("q117_sy_exact_megaday", int(r[1]) == sum(ys), f"got {r[1]}, want {sum(ys)}")
+
+# -- pin 3: product overflow past 38 digits is LOUD ----------------------
+try:
+    con.execute(
+        "SELECT CAST(999999999 AS DECIMAL(9,0)) * "
+        "CAST(99999999999999999999999999999999999999 AS DECIMAL(38,0))"
+    ).fetchone()
+    pin("product_overflow_loud", False, "width-38 product overflow returned a row")
+except duckdb.OutOfRangeException:
+    pass
+except Exception as e:  # any loud failure class keeps the pin's promise
+    pin("product_overflow_loud", "range" in str(e).lower() or "overflow" in str(e).lower(),
+        f"unexpected error class: {type(e).__name__}: {e}")
+
+# -- pin 4: SUM(DECIMAL(38,0)) wraps silently in int128 (known hazard) ---
+big = 99999999999999999999999999999999999999  # 38 nines, ~1e38
+r = con.execute(f"""
+    SELECT SUM(v) FROM (
+      SELECT CAST({big} AS DECIMAL(38,0)) v
+      UNION ALL SELECT CAST({big} AS DECIMAL(38,0))
+    )
+""").fetchone()[0]
+pin("sum38_wraps_silently_in_int128", int(r) != 2 * big and int(r) < 0,
+    f"duckdb changed SUM(DECIMAL(38,0)) overflow behavior: got {r} — "
+    "if now loud, update dev/oracle_probe.py pin 4 and the BUILDLOG note")
+
+if FAIL:
+    for f in FAIL:
+        print(f"[oracle_probe] FAIL {f}")
+    sys.exit(1)
+print(f"[oracle_probe] PASS 6 pins (duckdb {duckdb.__version__})")

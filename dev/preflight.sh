@@ -12,7 +12,9 @@
 #   2. full `sbt test` is green at this HEAD, fully logged,
 #   3. graft.Verify + the driver-faithful oracle compare PASS at
 #      sf0.01 AND sf0.001,
-#   4. the leak-shape grep over src/dev/build.sbt/project is clean.
+#   4. dev/oracle_probe.py holds (DuckDB wide-decimal semantics the
+#      q112/q117/q129 oracles rely on, at beyond-organic magnitudes),
+#   5. the leak-shape grep over src/dev/build.sbt/project is clean.
 #
 # Bench and the 9-mode parity matrix are deliberately NOT here: bench
 # needs host-noise adjudication (a human judgment per BUILDLOG's
@@ -31,7 +33,7 @@ log=/tmp/preflight_$(date +%s)
 mkdir -p "$log"
 fail=0
 
-echo "=== [1/4] working tree clean?"
+echo "=== [1/5] working tree clean?"
 if [ -n "$(git status --porcelain)" ]; then
   git status --short
   echo "REFUSE: dirty tree — commit or stash first, then re-run at the exact HEAD."
@@ -39,7 +41,7 @@ if [ -n "$(git status --porcelain)" ]; then
 fi
 echo "clean at $(git rev-parse --short HEAD)"
 
-echo "=== [2/4] full sbt test (logged to $log/sbt_test.log)"
+echo "=== [2/5] full sbt test (logged to $log/sbt_test.log)"
 if sbt test > "$log/sbt_test.log" 2>&1; then
   grep -E "Tests: succeeded|All tests passed" "$log/sbt_test.log" | tail -2
 else
@@ -53,7 +55,7 @@ else
   exit 1
 fi
 
-echo "=== [3/4] driver-faithful verify at sf0.01 and sf0.001"
+echo "=== [3/5] driver-faithful verify at sf0.01 and sf0.001"
 for sf in sf0.01 sf0.001; do
   out="$log/verify_$sf"
   if dev/run.sh graft.Verify "/root/testdata/$sf" "$out" > "$log/verify_$sf.run.log" 2>&1 \
@@ -66,7 +68,19 @@ for sf in sf0.01 sf0.001; do
   fi
 done
 
-echo "=== [4/4] leak-shape grep"
+echo "=== [4/5] oracle-side DECIMAL semantics probe"
+# Pins the DuckDB wide-decimal behaviors q112/q117/q129 rely on at
+# beyond-organic magnitudes (r16 ADVICE medium): a duckdb version change
+# that alters the multiply-width rule must REFUSE here, not silently
+# degrade the oracle's exactness where sf-verify can't see it.
+if python3 dev/oracle_probe.py; then
+  :
+else
+  echo "REFUSE: oracle probe failed — DuckDB decimal semantics drifted."
+  fail=1
+fi
+
+echo "=== [5/5] leak-shape grep"
 # Each literal is written with a [c] character class so the pattern
 # line cannot match itself when this script scans dev/ (first run of
 # this gate REFUSED on exactly that self-match).

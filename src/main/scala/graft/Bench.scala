@@ -137,7 +137,12 @@ object Bench {
     * 15-slowest map (~470 B) + counts (~40 B) + ≤RetryCap retried names
     * (~390 B) + over_band/drift (~40 B) ≈ 940 B worst case. */
   def budgetedLine(candidates: Seq[String]): String =
-    candidates.find(_.length <= LineBudget).getOrElse(candidates.last)
+    // Empty-input fallback (r16 ADVICE): candidates.last on Nil would throw
+    // NoSuchElementException INSIDE summary emission — the one place that
+    // must never crash. "{}" is a parseable JSON line signalling "ladder
+    // got no candidates" rather than silence; main() always passes three.
+    candidates.find(_.length <= LineBudget)
+      .orElse(candidates.lastOption).getOrElse("{}")
 
   /** The queries behind "over_band":N, worst final/band ratio first, capped
     * at `cap` — emitted as "over_band_names":[...] (only when non-empty, so

@@ -319,6 +319,14 @@ object RetentionQueries {
         // non-ANSI Spark, as an error in DuckDB). Decimal×decimal is exact;
         // x rides in DECIMAL(9,0) (day index, domain ≤ ~1e5) so the wide-y
         // product caps at DECIMAL(38,0) identically in both engines.
+        // r16 ADVICE questioned the oracle side (nominal DuckDB multiply
+        // width w1+w2 = 47 > 38 → DOUBLE fallback?): EMPIRICALLY FALSE on
+        // the driver's duckdb — the product binds DECIMAL(38,0) and is
+        // exact at >2^63 y, loud OutOfRange past 38 digits (product needs
+        // per-day cents ≳ 1e33 — orders beyond the 100 TB domain's ~1e24).
+        // Pinned by dev/oracle_probe.py (preflight step 4/5), so a duckdb
+        // version change that alters the rule REFUSES instead of silently
+        // degrading the oracle.
         daily.groupBy("event_type")
           .agg(count(lit(1)).as("n_days"),
             sum(col("x").cast("decimal(38,0)")).as("sx"),

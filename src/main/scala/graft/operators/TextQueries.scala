@@ -219,9 +219,15 @@ object TextQueries {
             // axis's class) legally reaches past 62, where 2^n leaves
             // BIGINT — caught by the skew parity matrix (r16: the ansioff
             // run produced the rows the ANSI base run aborted on with
-            // CAST_OVERFLOW). Windowed mod 63 on BOTH sides: identity on
-            // the organic 1..7 domain, total on any BIGINT linenumber.
-            pow(lit(2), col("l_linenumber") % 63).cast("long").as("pow2_line"),
+            // CAST_OVERFLOW). r16 shipped `% 63`, which ALIASED
+            // out-of-contract linenumbers back into organic-looking values
+            // (63→2^0); r16 ADVICE: pathological rows must be
+            // distinguishable. Now an explicit domain window on BOTH
+            // sides — identity on the organic 1..7 domain, honest NULL
+            // beyond it (the branch is conditional, so no overflow ever
+            // evaluates; 2^62 is an exact double, cast-safe under ANSI).
+            when(col("l_linenumber").between(0, 62),
+              pow(lit(2), col("l_linenumber")).cast("long")).as("pow2_line"),
             signum(col("l_discount") - 0.05).cast("long").as("disc_sign"),
             greatest(dec4(col("l_tax")), dec4(col("l_discount"))).cast("double").as("max_rate"),
             (col("l_quantity").cast("long") % 7).as("qty_mod7"))
@@ -233,7 +239,8 @@ object TextQueries {
                abs(CAST(l_extendedprice AS DECIMAL(18,2))) AS price_abs,
                CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS price_round1,
                CAST(sqrt(l_quantity) AS DECIMAL(18,9)) AS qty_sqrt,
-               CAST(pow(2, l_linenumber % 63) AS BIGINT) AS pow2_line,
+               CASE WHEN l_linenumber BETWEEN 0 AND 62
+                    THEN CAST(pow(2, l_linenumber) AS BIGINT) END AS pow2_line,
                CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
                CAST(greatest(CAST(l_tax AS DECIMAL(18,4)), CAST(l_discount AS DECIMAL(18,4)))
                     AS DECIMAL(18,4)) AS max_rate,

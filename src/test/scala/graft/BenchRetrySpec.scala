@@ -177,6 +177,9 @@ class BenchRetrySpec extends AnyFunSuite {
     // No candidate fits → the last (bounded-by-construction) one is
     // emitted regardless: a too-long line beats NO line.
     assert(Bench.budgetedLine(Seq(over, over + "!")) === over + "!")
+    // Empty ladder (r16 ADVICE): summary emission must never crash —
+    // a parseable sentinel beats a NoSuchElementException mid-bench.
+    assert(Bench.budgetedLine(Seq.empty) === "{}")
     // A 134-name failed list alone exceeds the budget — the exact r15
     // ADVICE scenario this ladder exists for.
     val massFailure = (1 to 134)

@@ -277,7 +277,13 @@ class BoundaryInputSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     val cents = out.map(_.getAs[Long]("revenue_cents"))
     assert(cents.forall(_ > 0L))
-    assert(cents.map(BigInt(_)).sum === BigInt(6000) * 1660000000000000L,
+    // Expected total derived from the REWRITTEN input (r16 ADVICE): a
+    // fixture regeneration at a different row count must fail with a
+    // fixture-shape message here, not a confusing partition-sum mismatch.
+    val nRows = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(nRows * 1.66e13 * 100 > Long.MaxValue.toDouble,
+      s"fixture must still detonate a BIGINT corpus total ($nRows rows)")
+    assert(cents.map(BigInt(_)).sum === BigInt(nRows) * 1660000000000000L,
       "class revenues must partition the exact corpus total")
     val shares = out.map(_.getAs[Double]("revenue_share"))
     assert(math.abs(shares.sum - 1.0) <= out.length * 5e-7)

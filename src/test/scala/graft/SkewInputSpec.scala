@@ -206,6 +206,28 @@ class SkewInputSpec extends AnyFunSuite {
       s"q32 reports $qDups exact dups; the shared-text clique alone forces ≥ $bound")
   }
 
+  test("q30 pow2_line NULLs out-of-domain linenumbers instead of aliasing") {
+    // r16 ADVICE (low): the `% 63` wrap mapped a 63-line order's row onto
+    // 2^0 — a plausible organic-looking value on a pathological row. The
+    // explicit domain window keeps 0..62 exact and reads everything beyond
+    // as an honest NULL, so pathological rows stay distinguishable.
+    // Red-proof: on the %63 engine the first assertion below fails (the
+    // mega-order's >62 linenumbers all carried aliased powers).
+    val out = Registry.queries("q30_math_functions")(spark, skewDir).cache()
+    try {
+      val outOfDomain = out.filter(col("l_linenumber") > 62)
+      assert(outOfDomain.count() > 0L,
+        "fixture must plant >62 linenumbers (mega-order hygiene ids)")
+      assert(outOfDomain.filter(col("pow2_line").isNotNull).count() === 0L,
+        "out-of-domain linenumbers must read NULL, never an aliased power")
+      val inDomain = out.filter(col("l_linenumber").between(0, 62))
+      assert(inDomain.filter(col("pow2_line").isNull).count() === 0L,
+        "in-domain linenumbers must keep their exact 2^n")
+      assert(out.filter(col("l_linenumber") === 2)
+        .select("pow2_line").head().getLong(0) === 4L)
+    } finally out.unpersist()
+  }
+
   test("exact near-dup pairs carry the full 499,500-pair clique") {
     // 1,000 identical texts are C(1000,2) legitimate pairs — the pair
     // OUTPUT is allowed to be quadratic in the clique, the candidate

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The combined skew × boundary sweep as ONE committed entry point with
+  * its adjudicated expected-failure set PINNED (VERDICT r16 "next round"
+  * task 3: "a spark-shell script with a hand-run command rots").
+  *
+  * Run:  GRAFT_STRESS=1 sbt "testOnly graft.StressSweepSpec"
+  *
+  * Gated behind GRAFT_STRESS=1 (it re-runs all 134 queries on a ~10^5-row
+  * poisoned corpus, ~minutes — too slow for every `sbt test`); ungated
+  * runs CANCEL the tests, visibly, at zero cost. Run it after ANY
+  * arithmetic change (the r16 rule) and per round before the snapshot.
+  *
+  * The pin is SET EQUALITY, so drift is loud in both directions: a NEW
+  * name failing the sweep is a real domain-vs-fixture bug (fix at the
+  * cause — this corpus found q129's internal-accumulator overflow where
+  * the single axes didn't); an expected name NO LONGER failing means an
+  * adjudicated contract changed and this set must be re-adjudicated
+  * consciously, not silently.
+  *
+  * Expected failures, each adjudicated in BUILDLOG round 16 #9:
+  *   - q129_pareto_classes: the ONE BIGINT OUTPUT cast — class A truly
+  *     exceeds Long.Max on this corpus (internals exact in DECIMAL(38,0));
+  *     revenue_cents BIGINT is the documented output contract, loud
+  *     (ANSI) beyond — the same adjudication as the stress header it
+  *     replaces.
+  *   - q33/q78/q133: the DESIGNED ≤64-word bitmask-vocabulary guard — the
+  *     boundary texts blow the 64-word dictionary and the guard fails
+  *     LOUDLY, pointing at the q50 MinHash/LSH open-vocabulary path.
+  */
+class StressSweepSpec extends AnyFunSuite {
+
+  private val gate = sys.env.get("GRAFT_STRESS").contains("1")
+
+  /** name → message-substring proving the failure is the adjudicated KIND,
+    * not merely any abort under the right name. */
+  private val expected: Map[String, String] = Map(
+    "q129_pareto_classes" -> "CAST_OVERFLOW",
+    "q33_neardup_pairs" -> "vocabulary exceeds 64 words",
+    "q78_dedup_clusters" -> "vocabulary exceeds 64 words",
+    "q133_dedup_roi" -> "vocabulary exceeds 64 words")
+
+  /** Full cause-chain text: Spark buries the error class (CAST_OVERFLOW,
+    * the assert_true guard text) under SparkException task-failure
+    * wrappers, so kind-matching must see every layer. */
+  private def chain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" | ")
+
+  test("combined sweep failure set equals the adjudicated expected set") {
+    assume(gate, "set GRAFT_STRESS=1 to run the combined stress sweep")
+    val spark = TestSpark.spark
+    val dir = StressFixture.build(spark)
+    val failures: Map[String, Throwable] = Registry.all.flatMap { q =>
+      try { TestSpark.materialize(q.fn(spark, dir)); None }
+      catch { case t: Throwable => Some(q.name -> t) }
+    }.toMap
+
+    val unexpected = failures.keySet -- expected.keySet
+    val missing = expected.keySet -- failures.keySet
+    assert(unexpected.isEmpty,
+      s"NEW sweep failures — real domain-vs-fixture bugs, fix at the cause: " +
+        unexpected.toSeq.sorted.map(n =>
+          s"$n: ${chain(failures(n)).linesIterator.next()}").mkString("; "))
+    assert(missing.isEmpty,
+      s"adjudicated failures no longer fail — re-adjudicate the expected " +
+        s"set consciously: ${missing.toSeq.sorted.mkString(", ")}")
+    expected.foreach { case (name, kind) =>
+      val msg = chain(failures(name))
+      assert(msg.contains(kind),
+        s"$name failed with the WRONG kind (want substring '$kind'): " +
+          msg.linesIterator.next())
+    }
+  }
+}
