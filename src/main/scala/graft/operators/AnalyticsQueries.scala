@@ -363,13 +363,18 @@ object AnalyticsQueries {
           .filter(col("c_acctbal") > col("seg_avg"))
           .select(col("c_custkey"), col("c_mktsegment"),
             outD(col("c_acctbal"), 2).as("bal"),
-            col("seg_avg").cast("decimal(18,6)").cast("double").as("seg_avg"))
+            // (38,6) not (18,6): seg_avg is bounded by max(c_acctbal),
+            // whose domain class is DECIMAL(18,2) (≤ ~9.99e15) — an
+            // above-1e12 balance segment would abort the old (18,6) round
+            // on both sides where the standard out6 width succeeds (r17
+            // cast-width audit; organic values identical).
+            col("seg_avg").cast("decimal(38,6)").cast("double").as("seg_avg"))
           .orderBy("c_custkey")
       },
       Some("""
         SELECT c_custkey, c_mktsegment,
                CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
-               CAST(CAST(seg_avg AS DECIMAL(18,6)) AS DOUBLE) AS seg_avg
+               CAST(CAST(seg_avg AS DECIMAL(38,6)) AS DOUBLE) AS seg_avg
         FROM (
           SELECT *,
                  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -365,6 +365,10 @@ object DataloaderQueries {
             posexplode(col("top")).as(Seq("pos", "e")))
           .select(col("tok"), col("df"),
             (col("pos") + 1).cast("long").as("rank"),
+            // tf rides graft_topk's DOUBLE score: exact while < 2^53, and
+            // tf is bounded by ONE document's token count (< 2^31 by the
+            // string/array length contract) — 22 bits of margin, so the
+            // long cast is always exact (r17 cast-width audit).
             col("e.id").as("doc_id"), col("e.score").cast("long").as("tf"))
           .orderBy("tok", "rank")
       },

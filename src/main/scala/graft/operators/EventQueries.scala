@@ -28,7 +28,18 @@ object EventQueries {
         eventsUs(s, dir)
           .withColumn("hour_us", unix_micros(date_trunc("hour", col("ts"))))
           .groupBy("hour_us")
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          // Cents sums over a TIME slice are corpus-linear (an hour/day/
+          // bucket legally holds any corpus fraction — the q117 argument)
+          // and cents is sign-mixed, so a BIGINT running sum can abort
+          // (ANSI) on a prefix even when the final value fits — while the
+          // oracle's SUM(BIGINT) rides int128 and only its final BIGINT
+          // cast gates. Accumulate in DECIMAL(38,0) like the oracle; the
+          // BIGINT output cast is the declared contract, loud beyond 2^63
+          // on both sides identically (r17 cast-width audit; q129's
+          // internal-accumulator adjudication). Same widen: q26, q27,
+          // q28, q15, q16, q48, q113.
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast("decimal(38,0)")).cast("long").as("cents"),
             countDistinct(col("user_id")).as("users"))
           .orderBy("hour_us"),
       Some(s"""
@@ -49,8 +60,9 @@ object EventQueries {
           .groupBy("day")
           .agg(
             count(lit(1)).as("n"),
-            sum(when(col("event_type") === "purchase", col("cents")).otherwise(0))
-              .as("purchase_cents"),
+            // DECIMAL(38,0) accumulator, BIGINT output contract — see q25.
+            sum(when(col("event_type") === "purchase", col("cents")).otherwise(0)
+              .cast("decimal(38,0)")).cast("long").as("purchase_cents"),
             count(when(col("event_type") === "error", lit(1))).as("errors"),
             count(when(col("event_type") === "signup", lit(1))).as("signups"),
             sum(when(col("event_type").isin("click", "view"), 1).otherwise(0))
@@ -75,9 +87,16 @@ object EventQueries {
       (s, dir) =>
         eventsUs(s, dir)
           .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          // `/` on longs is DOUBLE division in BOTH engines (DuckDB `/` is
+          // float too), so the bucket is the floor of the IDENTICAL double
+          // on both sides at any k; past 2^53 the division itself is the
+          // (shared, symmetric) precision bound — an off-by-one BUCKET at
+          // |k| ≳ 9e15, never an engine split (r17 cast-width audit).
           .withColumn("k_bucket", floor(col("k") / 10).cast("long"))
           .groupBy("k_bucket")
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          // DECIMAL(38,0) accumulator, BIGINT output contract — see q25.
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast("decimal(38,0)")).cast("long").as("cents"),
             countDistinct(col("k")).as("distinct_k"))
           .orderBy("k_bucket"),
       Some(s"""
@@ -98,7 +117,15 @@ object EventQueries {
       (s, dir) =>
         eventsUs(s, dir)
           .withColumn("parsed",
-            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+            // k BIGINT, not INT: from_json's permissive mode silently NULLs
+            // a field that overflows its declared type, so "k INT" turned
+            // every legal JSON integer past 2^31 into NULL while the
+            // oracle's CAST(... AS BIGINT) carried the value — a silent
+            // hash split on a legal corpus (r17 cast-width audit; pinned
+            // by BoundaryInputSpec's big-k corpus). BIGINT matches the
+            // oracle's parse width; k*2 below overflows LOUD at >2^62 on
+            // both sides identically.
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
           .withColumn("k", col("parsed").getField("k").cast("long"))
           .withColumn("tagged", struct(col("event_type").as("t"), col("user_id").as("u")))
           .withColumn("m", map(lit("base"), col("k"), lit("double"), col("k") * 2))
@@ -132,8 +159,12 @@ object EventQueries {
               .otherwise(0))
           .withColumn("session_id", sum(col("new_s")).over(wRun))
           .groupBy("user_id", "session_id")
+          // A session's row count is unbounded (the skew axis's mega-user
+          // holds half the corpus in one) — DECIMAL(38,0) accumulator,
+          // BIGINT output contract, see q25.
           .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
-            max(col("us")).as("end_us"), sum(col("cents")).as("cents"))
+            max(col("us")).as("end_us"),
+            sum(col("cents").cast("decimal(38,0)")).cast("long").as("cents"))
           .orderBy("user_id", "session_id")
       },
       Some(s"""

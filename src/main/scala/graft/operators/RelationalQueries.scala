@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   * aggregates are never hash-compared.
   */
 object Q {
+  /** Element casts for money/rate columns (r17 cast-width audit — the
+    * central adjudication for every `dec2/dec4 → sum → out*` revenue
+    * pipeline, so the dozens of sites don't repeat it):
+    *
+    *   - PER-ELEMENT: (18,2)/(18,4) admit |price| < 1e16 / |rate| < 1e14
+    *     — the declared domain class of the TPC-H-shaped money columns
+    *     (the boundary axis exercises the 9.9e13 edge). Beyond, the cast
+    *     aborts LOUD and SYMMETRICALLY (Spark ANSI / DuckDB conversion
+    *     error) — no silent regime.
+    *   - ACCUMULATORS: a revenue term dec2(p)×(1−dec4(d)) is DECIMAL(38,6)
+    *     in both engines, and its SUM stays (38,6) — integer headroom
+    *     1e32, i.e. ~12 orders above a 100 TB corpus's ~1e20 revenue
+    *     units. Corpus-linear but domain-safe; contrast the BIGINT cents
+    *     sums (q25-class) which had to widen internally.
+    *   - Only the FINAL out* double conversion carries the 2^53 scale
+    *     bound documented below. */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
   def dec4(c: Column): Column = c.cast("decimal(18,4)")
   /** Final-projection casts: round through DECIMAL (exact, order-independent)

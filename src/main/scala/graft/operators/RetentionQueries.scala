@@ -178,6 +178,15 @@ object RetentionQueries {
           .withColumn("bin",
             expr(s"((cents - minc) * $Bins) DIV (maxc - minc + 1)"))
           .groupBy("bin")
+          // sum_cents is corpus-linear (a bin holds up to the whole
+          // corpus), but unlike the q25-class time slices a VALUE-
+          // partitioned bin is single-sign by construction (the bin
+          // containing 0 holds only non-negatives), so the BIGINT
+          // accumulation is MONOTONE and aborts exactly iff the final
+          // sum violates the BIGINT output contract — the same point the
+          // oracle's CAST(int128 SUM AS BIGINT) gates. Output-contract
+          // bound, loud and symmetric; no internal widen needed
+          // (r17 cast-width audit adjudication).
           .agg(count(lit(1)).as("n"),
             min(col("cents")).as("lo_cents"),
             max(col("cents")).as("hi_cents"),
@@ -397,6 +406,11 @@ object RetentionQueries {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_intervals"),
             sum(col("dt")).as("span_us"),
+            // (19,0)×(19,0) → DECIMAL(38,0) in BOTH engines (probed, see
+            // dev/oracle_probe.py): per-term ≤ 9.9e15 cents × ~1e18 µs
+            // timestamp span ≈ 1e34 < 1e38, and the per-user SUM
+            // TELESCOPES — Σ value_i·Δt_i ≤ max|value| × total span, the
+            // same 1e34 bound, NOT linear in events (r17 cast-width audit).
             sum(col("cents").cast("decimal(19,0)") *
               col("dt").cast("decimal(19,0)")).as("wsum"))
           // A user whose intervals are all zero-length would divide 0/0

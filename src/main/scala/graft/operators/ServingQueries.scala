@@ -65,12 +65,21 @@ object ServingQueries {
       "q48_lambda_view_union",
       (s, dir) => {
         val e = eventsUs(s, dir).withColumn("day", date_trunc("day", col("ts")).cast("date"))
+        // Per-day cents is corpus-linear and sign-mixed on BOTH levels of
+        // the lambda merge: DECIMAL(38,0) accumulators end-to-end (the
+        // inner views stay decimal so the outer re-sum never narrows),
+        // BIGINT only at the final output cast — matching the oracle's
+        // int128 SUMs + single final cast (r17 cast-width audit, q25
+        // widen). n is a row count: bounded by corpus cardinality, BIGINT
+        // by the repo-wide count contract.
         def view(df: DataFrame): DataFrame =
-          df.groupBy("day").agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          df.groupBy("day").agg(count(lit(1)).as("n"),
+            sum(col("cents").cast("decimal(38,0)")).as("cents"))
         view(e.filter(col("us") < speedCutUs))     // batch view (history)
           .unionByName(view(e.filter(col("us") >= speedCutUs))) // speed view (recent)
           .groupBy("day")
-          .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("cents")).cast("long").as("cents"))
           .orderBy("day")
       },
       Some(s"""

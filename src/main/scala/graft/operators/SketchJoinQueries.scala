@@ -268,6 +268,11 @@ object SketchJoinQueries {
           .agg(expr("graft_topk(CAST(krows AS DOUBLE), k, 5)").as("t"))
           .select(col("c"), posexplode(col("t")).as(Seq("pos", "e")))
           .select(col("c"), (col("pos") + 1).cast("long").as("rank"),
+            // key_rows rides graft_topk's DOUBLE score and IS corpus-linear
+            // (the mega-key class): exact to 2^53 ≈ 9e15 rows — above the
+            // 100 TB row count — and past it the count rounds to an even
+            // neighbor, a ±1-row tolerance this DIAGNOSTIC (skew ranking)
+            // absorbs by design (r17 cast-width audit).
             col("e.id").as("key"), col("e.score").cast("long").as("key_rows"))
         top.join(broadcast(stats), "c")
           .select(col("c"), col("rank"), col("key"), col("key_rows"),

@@ -396,6 +396,10 @@ object TextQueries {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .join(lex, Seq("word"), "left")
           .groupBy("doc_id")
+          // BYTES-BOUNDED, not value-typed: |score| per doc ≤ its token
+          // count, so the corpus-wide sum ≤ total tokens ≤ corpus bytes
+          // (~1e14 at 100 TB) ≪ 2^63 — BIGINT-safe by the cardinality
+          // axiom, unlike the q25/q113 cents sums (r17 cast-width audit).
           .agg(coalesce(sum(col("score")), lit(0)).cast("long").as("sum_score"),
             count(lit(1)).as("n_tokens"))
           .withColumn("score_ratio",

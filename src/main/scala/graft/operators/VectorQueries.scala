@@ -76,6 +76,13 @@ object VectorQueries {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("xd", col("x").cast("double"))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      // Width bounds (r17 cast-width audit): the per-element (28,12) cast
+      // admits |x| < 1e16 and |x²| < 1e16 — i.e. components to ~1e8 —
+      // and aborts LOUD (ANSI / DuckDB conversion error) beyond, so no
+      // silent regime exists; embedding components are model outputs
+      // (O(1)–O(100)). The SUM accumulators ride (38,12) (int part 1e26)
+      // in both engines: corpus-linear per (label,pos), bounded by
+      // n_vecs × |x|max ≈ 1e15 × 1e2 = 1e17 ≪ 1e26 at 100 TB.
       .agg(sum(col("xd").cast("decimal(28,12)")).as("sx"),
         sum((col("xd") * col("xd")).cast("decimal(28,12)")).as("sxx"),
         count(lit(1)).as("n"))
@@ -387,6 +394,11 @@ object VectorQueries {
           col("c").as("cb"))
         a.join(b, Seq("pos"))
           .filter(col("label_a") < col("label_b"))
+          // (28,18) admits d2 < 1e10, i.e. |centroid diff| < 1e5 — loud
+          // (symmetric) beyond; centroids inherit the O(100) component
+          // domain bounded upstream by centroidMoments' (28,12) element
+          // cast. The dims-bounded SUM rides (38,18): ≤ 4096 × 1e10 ≪
+          // 1e20 (r17 cast-width audit; same bound at q134's twin sites).
           .withColumn("d2",
             ((col("ca") - col("cb")) * (col("ca") - col("cb")))
               .cast("decimal(28,18)"))

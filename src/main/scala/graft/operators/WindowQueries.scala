@@ -97,6 +97,13 @@ object WindowQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         eventsUs(s, dir)
           .withColumn("run_n", count(lit(1)).over(w))
+          // Corpus-linear and sign-mixed, but EVERY prefix is itself an
+          // output row here, so a >2^63 prefix is a genuine BIGINT
+          // output-contract violation at that row — the BIGINT window sum
+          // aborts at exactly the point the contract demands, matching
+          // where the oracle's final cast would. Output-contract bound,
+          // no internal widen needed — unlike q16's trailing-hour frame,
+          // whose prefixes are internal (r17 cast-width audit).
           .withColumn("run_cents", sum(col("cents")).over(w))
           .select("user_id", "event_id", "run_n", "run_cents")
           .orderBy("user_id", "event_id")
@@ -119,7 +126,10 @@ object WindowQueries {
         eventsUs(s, dir)
           .withColumn("es", expr("us div 1000000"))
           .withColumn("hour_n", count(lit(1)).over(w))
-          .withColumn("hour_cents", sum(col("cents")).over(w))
+          // Same widen as q15: a trailing hour legally holds any corpus
+          // fraction (burst traffic) — decimal accumulator, BIGINT output.
+          .withColumn("hour_cents",
+            sum(col("cents").cast("decimal(38,0)")).over(w).cast("long"))
           .select("user_id", "event_id", "hour_n", "hour_cents")
           .orderBy("user_id", "event_id")
       },

@@ -364,4 +364,93 @@ class BoundaryInputSpec extends AnyFunSuite {
     val out = Registry.queries("q01_pricing_summary")(spark, bndDir)
     assert(out.count() > 0)
   }
+
+  test("event cents sums survive a sign-mixed prefix past 2^63 (q25-28/16/48)") {
+    // r17 cast-width audit: per-slice cents sums over TIME/bucket/session
+    // slices are corpus-linear AND sign-mixed, so a BIGINT accumulator can
+    // abort (ANSI) on a PREFIX even when the final value fits — while the
+    // DuckDB oracle rides int128 and only gates at the final BIGINT cast.
+    // Fixture: one burst timestamp where 3,000 events at the +9.9e13
+    // value edge (Σ ≈ +2.97e19 cents, 3.2× past Long.Max) are written
+    // BEFORE 3,000 mirror events at -9.9e13, netting 0 — all on ONE user
+    // so the session (q28) and trailing-hour frame (q16) accumulate the
+    // same detonating prefix. Red-proofed: the pre-widen engine aborts
+    // these sums with ARITHMETIC_OVERFLOW on this corpus; the widened
+    // engine returns the exact net on every slice shape. q15 and q113
+    // are deliberately ABSENT: q15's every prefix is itself an output row
+    // (a >2^63 prefix must abort — output contract) and q113's value-
+    // partitioned bins are single-sign (monotone accumulation ≡ final
+    // check) — see their in-place adjudication comments.
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    def burst(sign: Int, idOff: Long) = ev.limit(1000)
+      .crossJoin(spark.range(3).toDF("copy"))
+      .withColumn("event_id", col("event_id") * 3 + col("copy") + lit(idOff))
+      .drop("copy")
+      .withColumn("user_id", lit(0L))
+      .withColumn("value", lit(sign * 9.9e13))
+      .withColumn("ts", expr("TIMESTAMP_NTZ'2024-01-06 12:00:00'"))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("props", lit("""{"k": 7}"""))
+    val dir = java.nio.file.Files.createTempDirectory("graft-signmix").toString
+    ev.unionByName(burst(1, 10000000L)).unionByName(burst(-1, 20000000L))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    for (q <- Seq("q25_hourly_rollup", "q26_daily_type_breakdown",
+        "q27_json_props", "q28_sessionization", "q16_trailing_hour",
+        "q48_lambda_view_union"))
+      TestSpark.materialize(Registry.queries(q)(spark, dir))
+    // Semantic pin on the day slice: the burst day's purchase cents are
+    // the exact organic purchases of that day plus the pair-cancelling
+    // burst (net 0 from the burst itself).
+    val organic = Registry.queries("q26_daily_type_breakdown")(
+      spark, TestSpark.sf0001).filter(col("day") === lit("2024-01-06"))
+      .collect().headOption.map(_.getAs[Long]("purchase_cents")).getOrElse(0L)
+    val burstDay = Registry.queries("q26_daily_type_breakdown")(spark, dir)
+      .filter(col("day") === lit("2024-01-06")).head()
+    assert(burstDay.getAs[Long]("purchase_cents") === organic,
+      "the ±9.9e15-cent burst must pair-cancel exactly in the daily sum")
+  }
+
+  test("q56 carries JSON integers past 2^31 instead of NULLing them") {
+    // r17 cast-width audit: from_json's permissive mode silently NULLs a
+    // field that overflows its declared width, so the old "k INT" schema
+    // read every legal JSON integer past 2^31 as NULL while the oracle's
+    // BIGINT parse carried the value — a silent hash split. Red-proofed:
+    // on the pre-widen engine k below reads NULL.
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigk").toString
+    ev.withColumn("props",
+        when(pmod(col("event_id"), lit(2)) === 0, lit("""{"k": 9000000001}"""))
+          .otherwise(col("props")))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val out = Registry.queries("q56_json_struct")(spark, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 0)
+    assert(out.filter(col("k").isNull).count() === 0L,
+      "legal JSON integers past 2^31 must parse, not NULL")
+    val r = out.head()
+    assert(r.getAs[Long]("k") === 9000000001L)
+    assert(r.getAs[Long]("k_doubled") === 18000000002L)
+  }
+
+  test("q77 seg_avg stays exact on above-1e12 balance segments") {
+    // r17 cast-width audit: the old DECIMAL(18,6) output round capped
+    // seg_avg at 1e12, but its bound is max(c_acctbal) — domain class
+    // DECIMAL(18,2), ≤ ~9.99e15. A segment of boundary balances must
+    // round through the (38,6) width, not abort. Red-proofed: the (18,6)
+    // engine throws CAST_OVERFLOW here.
+    val c = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigbal").toString
+    c.withColumn("c_acctbal",
+        when(col("c_mktsegment") === "BUILDING",
+          lit(9.9e13) + pmod(col("c_custkey"), lit(7)))
+          .otherwise(col("c_acctbal")))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    val out = Registry.queries("q77_above_average_customers")(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").collect()
+    assert(out.nonEmpty, "above-average rows must exist in the edge segment")
+    out.foreach { r =>
+      val avg = r.getAs[Double]("seg_avg")
+      assert(avg > 9.8e13 && avg < 1.0e14,
+        s"seg_avg must carry the boundary magnitude exactly, got $avg")
+    }
+  }
 }
