@@ -56,6 +56,11 @@ object ScaleCheck {
     write(replicate("events", Seq("event_id", "user_id"), 100000000L), "events")
 
     val names = Seq("q01_pricing_summary", "q03_top_revenue_orders",
+      // The r17-widened events aggregates (DECIMAL(38,0) cents
+      // accumulators): in the table so the widen's per-row cost is
+      // certified linear, not just in-band at one SF.
+      "q16_trailing_hour", "q25_hourly_rollup", "q26_daily_type_breakdown",
+      "q27_json_props", "q28_sessionization", "q48_lambda_view_union",
       "q57_shipping_priority", "q59_returned_items", "q35_word_freq",
       "q80_dataset_split", "q83_curation_pipeline", "q87_sequence_packing",
       "q88_pii_redaction", "q89_repetition_signals", "q90_language_mixture",
