@@ -27,6 +27,19 @@ Pinned behaviors (each beyond-organic, each load-bearing):
      r17 cast-width audit), so the wraparound region is unreachable;
      this assertion exists so a duckdb upgrade that FIXES it to loud is
      noticed and the comment updated.
+  5. Non-finite doubles (NaN/±Inf — the sixth robustness axis,
+     NonFiniteInputSpec) fail LOUD at the shared cast points every
+     scalar money/value consumer routes through: double→BIGINT (the
+     eventsUs cents derivation) and double→DECIMAL(18,s) (dec2/dec4)
+     both raise Conversion/InvalidInput errors, mirroring Spark's ANSI
+     CAST_INVALID_INPUT. A DuckDB version that started returning
+     NULL/0 here would silently un-pair the engine's loud abort — the
+     oracle would produce rows for a query the engine refuses.
+  6. NaN ORDERING parity, relied on by range predicates evaluated
+     BEFORE the loud cast: DuckDB treats NaN as greater than every
+     double (NaN > t is TRUE, MAX picks NaN), exactly Spark's
+     semantics — so a NaN row reaches (or escapes) the downstream cast
+     identically in both engines.
 
 Run: python3 dev/oracle_probe.py   (preflight runs it as step 4/5; exit 0
 = all pins hold, exit 1 with the failing pin named otherwise.)
@@ -95,8 +108,31 @@ pin("sum38_wraps_silently_in_int128", int(r) != 2 * big and int(r) < 0,
     f"duckdb changed SUM(DECIMAL(38,0)) overflow behavior: got {r} — "
     "if now loud, update dev/oracle_probe.py pin 4 and the BUILDLOG note")
 
+# -- pin 5: non-finite doubles are LOUD at the shared cast points --------
+for label, expr in [
+    ("nan_to_bigint_loud", "CAST(ROUND(CAST('NaN' AS DOUBLE) * 100) AS BIGINT)"),
+    ("posinf_to_bigint_loud", "CAST(ROUND(CAST('Infinity' AS DOUBLE) * 100) AS BIGINT)"),
+    ("neginf_to_bigint_loud", "CAST(ROUND(CAST('-Infinity' AS DOUBLE) * 100) AS BIGINT)"),
+    ("nan_to_decimal_loud", "CAST(CAST('NaN' AS DOUBLE) AS DECIMAL(18,2))"),
+    ("inf_to_decimal_loud", "CAST(CAST('Infinity' AS DOUBLE) AS DECIMAL(18,4))"),
+]:
+    try:
+        row = con.execute(f"SELECT {expr}").fetchone()
+        pin(label, False, f"non-finite cast returned {row} instead of erroring")
+    except Exception as e:
+        pin(label, "cast" in str(e).lower() or "conver" in str(e).lower(),
+            f"unexpected error class: {type(e).__name__}: {e}")
+
+# -- pin 6: NaN orders greater than every double (Spark parity) ----------
+r = con.execute("""
+    SELECT CAST('NaN' AS DOUBLE) > 1e308,
+           MAX(x) FROM (VALUES (1.0), (CAST('NaN' AS DOUBLE))) t(x)
+""").fetchone()
+pin("nan_gt_everything", r[0] is True, f"NaN > 1e308 returned {r[0]}")
+pin("max_picks_nan", r[1] != r[1], f"MAX over {{1.0, NaN}} returned {r[1]}")
+
 if FAIL:
     for f in FAIL:
         print(f"[oracle_probe] FAIL {f}")
     sys.exit(1)
-print(f"[oracle_probe] PASS 6 pins (duckdb {duckdb.__version__})")
+print(f"[oracle_probe] PASS 13 pins (duckdb {duckdb.__version__})")

@@ -140,7 +140,7 @@ object AnalyticsQueries {
         big.join(o, big("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
-            outD(col("o_totalprice"), 2).as("price"), col("total_qty"))
+            outD(finite(col("o_totalprice")), 2).as("price"), col("total_qty"))
           .orderBy(col("total_qty").desc, col("o_orderkey"))
       },
       Some("""
@@ -204,7 +204,13 @@ object AnalyticsQueries {
     QueryDef(
       "q63_above_brand_average",
       (s, dir) => {
-        reg(s, dir, "part")
+        // q23's view-guard idiom: the shared SQL CASTs p_retailprice per
+        // row (loud in DuckDB, silent NULL in Spark) AND averages it in a
+        // correlated subquery where a silently-dropped NaN would skew the
+        // brand mean — guard the view, keep the text shared (sixth axis).
+        t(s, dir, "part")
+          .withColumn("p_retailprice", Q.finite(col("p_retailprice")))
+          .createOrReplaceTempView("part")
         s.sql(aboveBrandAvgSql)
       },
       Some(aboveBrandAvgSql)),
@@ -362,7 +368,7 @@ object AnalyticsQueries {
           .withColumn("seg_avg", col("seg_sum").cast("double") / col("seg_n"))
           .filter(col("c_acctbal") > col("seg_avg"))
           .select(col("c_custkey"), col("c_mktsegment"),
-            outD(col("c_acctbal"), 2).as("bal"),
+            outD(finite(col("c_acctbal")), 2).as("bal"),
             // (38,6) not (18,6): seg_avg is bounded by max(c_acctbal),
             // whose domain class is DECIMAL(18,2) (≤ ~9.99e15) — an
             // above-1e12 balance segment would abort the old (18,6) round

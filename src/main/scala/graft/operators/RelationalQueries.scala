@@ -28,9 +28,22 @@ object Q {
     *     units. Corpus-linear but domain-safe; contrast the BIGINT cents
     *     sums (q25-class) which had to widen internally.
     *   - Only the FINAL out* double conversion carries the 2^53 scale
-    *     bound documented below. */
-  def dec2(c: Column): Column = c.cast("decimal(18,2)")
-  def dec4(c: Column): Column = c.cast("decimal(18,4)")
+    *     bound documented below.
+    *   - NON-FINITE ingress (r17, the sixth robustness axis): Spark's
+    *     double→DECIMAL cast returns NULL for NaN/±Inf even under ANSI —
+    *     a SUM would silently drop the poisoned rows and emit a
+    *     plausible-but-wrong total, while the DuckDB oracle's same CAST
+    *     is loud (dev/oracle_probe.py pin group 5). [[finite]] restores
+    *     the oracle's semantics at every money-double ingress; on finite
+    *     values it is an identity branch, so organic outputs (and the
+    *     boundary axis's 9.9e13-edge outputs) are byte-identical. */
+  def finite(c: Column): Column =
+    when(isnan(c) || abs(c) === lit(Double.PositiveInfinity),
+      raise_error(format_string(
+        "non-finite double at a money/value ingress: %s", c)).cast("double"))
+      .otherwise(c)
+  def dec2(c: Column): Column = finite(c).cast("decimal(18,2)")
+  def dec4(c: Column): Column = finite(c).cast("decimal(18,4)")
   /** Final-projection casts: round through DECIMAL (exact, order-independent)
     * but EMIT DOUBLE. The driver hash-compares pandas values: Spark DECIMAL
     * parquet loads as python Decimal objects while the DuckDB oracle arrives
@@ -112,8 +125,10 @@ object RelationalQueries {
               col("l_linestatus").like("F%"))
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            outD(col("l_quantity"), 2).as("qty"),
-            outD(col("l_extendedprice"), 2).as("price"),
+            // finite(): the oracle CASTs these raw doubles per row, loud on
+            // NaN/±Inf — outD's silent NULL would diverge (sixth axis).
+            outD(finite(col("l_quantity")), 2).as("qty"),
+            outD(finite(col("l_extendedprice")), 2).as("price"),
             col("l_returnflag"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""
@@ -341,7 +356,11 @@ object RelationalQueries {
         // DSL note: rollup's Expand duplicates grouping attributes, which
         // trips ambiguous-self-join resolution on a post-agg coalesce();
         // the SQL path resolves cleanly and exercises entry point 2 (§3.2).
-        c.createOrReplaceTempView("customer")
+        // c_acctbal is finite-guarded in the view (q23's idiom): the SQL
+        // text CASTs it per row — loud in DuckDB, silently NULL in Spark
+        // (sixth axis); identity on finite balances.
+        c.withColumn("c_acctbal", finite(col("c_acctbal")))
+          .createOrReplaceTempView("customer")
         n.createOrReplaceTempView("nation")
         s.sql("""
           SELECT COALESCE(n_name, 'ALL') AS nation,
@@ -394,7 +413,7 @@ object RelationalQueries {
       (s, dir) =>
         t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-            outD(col("c_acctbal"), 2).as("bal"))
+            outD(finite(col("c_acctbal")), 2).as("bal"))
           .orderBy(col("c_custkey"))
           .offset(40)
           .limit(25),

@@ -209,11 +209,18 @@ object TextQueries {
         t(s, dir, "lineitem")
           .select(
             col("l_orderkey"), col("l_linenumber"),
-            ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
-            floor(col("l_extendedprice")).cast("long").as("price_floor"),
+            // finite(): Spark's ceil/floor(double) RETURN BIGINT and absorb
+            // NaN/±Inf silently (no ANSI cast runs — the conversion is
+            // inside the function), while the oracle's ceil stays DOUBLE
+            // and its explicit CAST ... AS BIGINT is loud (sixth axis).
+            ceil(finite(col("l_extendedprice"))).cast("long").as("price_ceil"),
+            floor(finite(col("l_extendedprice"))).cast("long").as("price_floor"),
             abs(dec2(col("l_extendedprice"))).cast("double").as("price_abs"),
             round(dec2(col("l_extendedprice")), 1).cast("decimal(18,1)").cast("double").as("price_round1"),
-            sqrt(col("l_quantity")).cast("decimal(18,9)").cast("double").as("qty_sqrt"),
+            // finite() AFTER sqrt: catches both a NaN input and a (never
+            // organic) negative one, exactly where the oracle's loud CAST
+            // of the sqrt result sits.
+            finite(sqrt(col("l_quantity"))).cast("decimal(18,9)").cast("double").as("qty_sqrt"),
             // l_linenumber enumerates lines WITHIN an order: TPC-H-shaped
             // data caps it at 7, but a 10^5-line mega-order (the skew
             // axis's class) legally reaches past 62, where 2^n leaves

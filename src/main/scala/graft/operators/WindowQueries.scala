@@ -42,7 +42,10 @@ object WindowQueries {
           .withColumn("drnk", dense_rank().over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("o_orderkey"),
-            outD(col("o_totalprice"), 2).as("price"),
+            // finite(): a NaN/Inf price ranks FIRST in both engines (NaN
+            // greatest) and so always reaches the oracle's loud CAST —
+            // mirror it instead of outD's silent NULL (sixth axis).
+            outD(Q.finite(col("o_totalprice")), 2).as("price"),
             col("rn"), col("rnk"), col("drnk"))
           .orderBy("o_custkey", "rn")
       },
@@ -198,7 +201,7 @@ object WindowQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 2)
           .select(col("p_brand"), col("p_partkey"),
-            outD(col("p_retailprice"), 2).as("price"), col("rn"))
+            outD(Q.finite(col("p_retailprice")), 2).as("price"), col("rn"))
           .orderBy("p_brand", "rn")
       },
       Some("""
@@ -281,7 +284,13 @@ object WindowQueries {
     QueryDef(
       "q23_acctbal_stats",
       (s, dir) => {
-        t(s, dir, "customer").createOrReplaceTempView("customer")
+        // The shared SQL text CASTs every row's c_acctbal — loud in DuckDB,
+        // silently NULL in Spark. Guarding the VIEW keeps the one-text-two-
+        // engines property while restoring the oracle's abort (sixth axis);
+        // identical on finite balances.
+        t(s, dir, "customer")
+          .withColumn("c_acctbal", Q.finite(col("c_acctbal")))
+          .createOrReplaceTempView("customer")
         t(s, dir, "nation").createOrReplaceTempView("nation")
         s.sql(statsSql)
       },
@@ -345,7 +354,14 @@ object WindowQueries {
       "q105_topk_aggregate",
       (s, dir) => {
         graft.plans.VectorFunctions.register(s)
+        // finite() at the INPUT, not the output: graft_topk's own contract
+        // ranks NaN last (it would silently EXCLUDE a NaN price), while the
+        // oracle's window ranks NaN first and always CASTs it loudly at
+        // rn=1. A group with any non-finite price must abort here exactly
+        // as it does there; the operator keeps its documented NaN-last
+        // semantics for library callers (sixth axis).
         t(s, dir, "orders")
+          .withColumn("o_totalprice", Q.finite(col("o_totalprice")))
           .groupBy(col("o_custkey"))
           .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
           .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
