@@ -92,6 +92,38 @@ object NonFiniteFixture {
   }
 }
 
+/** The adjudicated loud-abort map for the non-finite corpus — shared by
+  * [[NonFiniteInputSpec]] (single axis) and [[StressSweepSpec]]'s
+  * three-way pin ([[TriStressFixture]]), so one adjudication list cannot
+  * drift from the other. Kind per query: the guard's message
+  * ("non-finite double") at double→DECIMAL ingresses, Spark's own
+  * CAST_OVERFLOW at the double→BIGINT cents casts. (q103/q112/q129
+  * surface as STAGE_MATERIALIZATION_MULTIPLE_FAILURES wrappers; the
+  * cause chain carries the kind.) */
+object NonFiniteExpectations {
+  val expected: Map[String, String] = {
+    val raised = Seq(
+      "q01_pricing_summary", "q02_predicate_filter", "q03_top_revenue_orders",
+      "q04_region_enrichment", "q11_rollup_balances", "q12_cube_lineitem",
+      "q79_limit_offset", "q13_top_orders_per_customer",
+      "q19_top_parts_per_brand", "q23_acctbal_stats", "q105_topk_aggregate",
+      "q30_math_functions", "q31_order_tiers", "q57_shipping_priority",
+      "q59_returned_items", "q60_large_orders", "q62_yearly_priority_values",
+      "q63_above_brand_average", "q75_promo_revenue_share",
+      "q76_disjunctive_predicates", "q77_above_average_customers",
+      "q74_nation_trade_flows", "q112_part_value_share", "q129_pareto_classes")
+    val cast = Seq(
+      "q15_running_totals", "q16_trailing_hour", "q21_value_percentiles",
+      "q103_winsorized_stats", "q25_hourly_rollup", "q26_daily_type_breakdown",
+      "q27_json_props", "q28_sessionization", "q101_gap_fill",
+      "q47_upsert_merge", "q48_lambda_view_union", "q121_cdc_apply",
+      "q69_approx_percentiles", "q113_value_histogram", "q117_daily_trend",
+      "q124_time_weighted_avg", "q125_equi_depth_quintiles")
+    (raised.map(_ -> "non-finite double") ++
+      cast.map(_ -> "CAST_OVERFLOW")).toMap
+  }
+}
+
 /** Materialize the non-finite corpus to a temp dir and print it — the
   * committed entry point for running external harnesses (dev/parity.sh,
   * Verify) on the SAME corpus the spec pins, mirroring SkewFixtureMain. */

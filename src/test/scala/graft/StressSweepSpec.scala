@@ -74,4 +74,45 @@ class StressSweepSpec extends AnyFunSuite {
           msg.linesIterator.next())
     }
   }
+
+  /** Three-way expected set (r17 session 2): the UNION of the non-finite
+    * map and the designed vocab-guard trio. Two adjudications specific to
+    * the composition: (a) q112/q129 abort at the non-finite GUARD rather
+    * than the boundary detonation this corpus also carries — the NaN
+    * price row evaluates before the 9.9e13 sum exceeds its bound
+    * (deterministic for the fixed fixture; the two-way sweep above still
+    * pins the CAST_OVERFLOW detonation); (b) q78/q133 flip from the
+    * two-way sweep's vocab kind only in WRAPPER (direct USER_RAISED vs
+    * stage-materialization), same message — the substring match is
+    * wrapper-agnostic by design. */
+  private val triExpected: Map[String, String] =
+    NonFiniteExpectations.expected ++ Seq(
+      "q33_neardup_pairs", "q78_dedup_clusters", "q133_dedup_roi")
+      .map(_ -> "vocabulary exceeds 64 words")
+
+  test("three-way (skew x boundary x non-finite) failure set matches") {
+    assume(gate, "set GRAFT_STRESS=1 to run the three-way stress sweep")
+    val spark = TestSpark.spark
+    val dir = TriStressFixture.build(spark)
+    val failures: Map[String, Throwable] = Registry.all.flatMap { q =>
+      try { TestSpark.materialize(q.fn(spark, dir)); None }
+      catch { case t: Throwable => Some(q.name -> t) }
+    }.toMap
+
+    val unexpected = failures.keySet -- triExpected.keySet
+    val missing = triExpected.keySet -- failures.keySet
+    assert(unexpected.isEmpty,
+      s"NEW three-way failures — a guard or contract shifted under skew: " +
+        unexpected.toSeq.sorted.map(n =>
+          s"$n: ${chain(failures(n)).linesIterator.next()}").mkString("; "))
+    assert(missing.isEmpty,
+      s"adjudicated three-way aborts no longer abort — re-adjudicate: " +
+        missing.toSeq.sorted.mkString(", "))
+    triExpected.foreach { case (name, kind) =>
+      val msg = chain(failures(name))
+      assert(msg.contains(kind),
+        s"$name failed with the WRONG kind (want substring '$kind'): " +
+          msg.linesIterator.next())
+    }
+  }
 }
