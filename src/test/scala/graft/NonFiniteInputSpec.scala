@@ -105,6 +105,35 @@ class NonFiniteInputSpec extends AnyFunSuite {
       }
   }
 
+  test("streaming: a non-finite value is a LOUD poison pill, not silent corruption") {
+    // The streaming cents aggregates (tumblingCounts/sessionAgg) ride the
+    // same round(value*100).cast(long) derivation as the batch layer — a
+    // NaN record must STOP the stream with the batch layer's kind
+    // (CAST_OVERFLOW inside a StreamingQueryException), never be silently
+    // dropped from a window's cents. At 100 TB the remedy for a poisoned
+    // feed is an upstream filter/quarantine, a conscious choice — not an
+    // engine that quietly un-counts rows (the lambda view would then
+    // disagree with the batch recomputation forever).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = in.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = graft.streaming.StreamingOps.tumblingCounts(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("nf_poison")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-nf-ckpt").toString)
+      .outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:10:00Z"))
+      in.addData((1L, t0, 7L, "click", 1.50), (2L, t0, 7L, "click", Double.NaN))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(chain(e).contains("CAST_OVERFLOW"),
+        s"poisoned stream must abort with the batch kind: ${chain(e).take(300)}")
+    } finally q.stop()
+  }
+
   test("WHY the guard exists: Spark's own casts absorb non-finites silently") {
     // Pins the Spark 4.1.2 behaviors the guard compensates for, so an
     // upstream fix (loud ANSI double→decimal cast, say) is NOTICED and the
