@@ -55,6 +55,15 @@ SPARK_GRAFT_CPUS=8 dev/run.sh graft.Verify "$NFDIR" "$OUT" \
   2> "$OUT/verify_err.log" >/dev/null || true
 N_ABORT=$(grep -c "\[verify\].*failed" "$OUT/verify_err.log" || true)
 echo "$N_ABORT queries aborted (expected: the spec's 41)"
+# ASSERT, don't just echo (r17 ADVICE): a regression that flips a green
+# query to abort — or an abort that starts leaving a partially-committed
+# output dir — would silently shrink/grow the compared set while the
+# final compare still printed PASS on reduced coverage.
+[ "$N_ABORT" -eq 41 ] || {
+  echo "FAIL: abort count $N_ABORT != the adjudicated 41 — re-adjudicate"
+  grep "\[verify\].*failed" "$OUT/verify_err.log" | sed 's/^/  /'
+  exit 1
+}
 
 echo "=== [3/4] flatten table dirs for the oracle's views"
 FLAT=$(mktemp -d /tmp/nf_flat.XXXXXX)
@@ -74,4 +83,14 @@ green = [d for d in os.listdir(out)
 print(",".join(sorted(set(green) & set(oracle))))
 EOF
 )
+# The green-oracled set must be exactly the adjudicated 83 (93 greens
+# minus the 10 rows-only sketch queries that have no oracle SQL): fewer
+# means a green query aborted or left no parquet (coverage silently
+# shrank); more means an adjudicated abort left a spurious usable output.
+N_GREEN=$(echo "$ONLY" | tr ',' '\n' | grep -c . || true)
+[ "$N_GREEN" -eq 83 ] || {
+  echo "FAIL: green oracled set has $N_GREEN entries, expected 83:"
+  echo "$ONLY" | tr ',' '\n' | sed 's/^/  /'
+  exit 1
+}
 python3 dev/verify_local.py "$FLAT" "$OUT" --only "$ONLY" | tail -1

@@ -23,6 +23,12 @@
 #
 #   dev/preflight.sh            # full gate (~12 min)
 #
+# RULE (r17, the d3e166e lesson): a run whose tree was edited while the
+# suite was executing is TAINTED — discard its PASS/FAIL entirely and
+# re-run at the final HEAD. The clean-tree check at step 1 only proves
+# cleanliness at START; only you know whether you kept your hands off
+# the tree until the summary line printed.
+#
 # On success, prints the suite summary line to quote in BUILDLOG.
 set -u
 # Guarded cd (r15 ADVICE): under set -u without set -e an unchecked cd

@@ -119,12 +119,24 @@ object Bench {
     * (max observed N = 1). */
   val OverBandNamesCap = 8
 
+  /** How many over_band names EVERY degraded ladder rung keeps (VERDICT
+    * r17 #2): BENCH_r17's saturated line carried "over_band":42 with ZERO
+    * names — the first rung (≤[[OverBandNamesCap]] names) overflowed the
+    * budget and the next rung dropped the list entirely, leaving the
+    * driver line un-self-adjudicable ("42 uniform noise" vs "42 real
+    * regressions" needs at least the worst names to look up against the
+    * band). Three worst-ratio names ≈ 90-120 B buy exactly that read; the
+    * ladder sheds slowest-map TAIL entries instead (the detail file
+    * carries all 134 anyway). */
+  val OverBandKeepCap = 3
+
   /** Hard byte budget for the stdout JSON line (the driver's tail capture
     * truncates ~1 KB; rounds 1-2 proved a 2.7 KB line arrives
     * unparseable). main() degrades the line through [[budgetedLine]]'s
-    * ladder — over_band_names dropped first, then the failed NAMES (never
-    * the n_failed count) — until it fits; the untracked detail file
-    * always carries the full lists. */
+    * ladder (built in [[summaryLines]]) — over_band_names trimmed to the
+    * top [[OverBandKeepCap]] first, then the failed NAMES (never the
+    * n_failed count), then slowest-map tail entries — until it fits; the
+    * untracked detail file always carries the full lists. */
   val LineBudget = 1000
 
   /** First candidate line within [[LineBudget]], else the last one
@@ -133,14 +145,16 @@ object Bench {
     * e.g. a missing fixture dir, carried up to 134 failed names ≈ 3+ KB
     * past the driver's ~1 KB tail capture exactly when diagnosis
     * mattered most). The last candidate must be bounded by construction:
-    * in main() that is the line with BOTH optional name lists dropped —
-    * 15-slowest map (~470 B) + counts (~40 B) + ≤RetryCap retried names
-    * (~390 B) + over_band/drift (~40 B) ≈ 940 B worst case. */
+    * in [[summaryLines]] that is the k=0 rung — empty queries map, failed
+    * names dropped, ≤RetryCap retried names (~530 B worst over the fixed
+    * 134-name population) + top-[[OverBandKeepCap]] over names (~120 B) +
+    * counts/fixed keys/sf (~230 B) ≈ 880 B worst case. */
   def budgetedLine(candidates: Seq[String]): String =
     // Empty-input fallback (r16 ADVICE): candidates.last on Nil would throw
     // NoSuchElementException INSIDE summary emission — the one place that
     // must never crash. "{}" is a parseable JSON line signalling "ladder
-    // got no candidates" rather than silence; main() always passes three.
+    // got no candidates" rather than silence; summaryLines always passes
+    // a non-empty ladder (two full rungs + the k=15..0 shrinking tail).
     candidates.find(_.length <= LineBudget)
       .orElse(candidates.lastOption).getOrElse("{}")
 
@@ -186,12 +200,92 @@ object Bench {
     else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
   }
 
+  /** Build the (detailLine, stdoutLine) pair from FINAL per-query times.
+    * Object-level (not main-local) so BenchRetrySpec can pin the budget
+    * ladder on the exact BENCH_r17 topology — 16 retried names, a 42-name
+    * over_band residue, a 15-entry slowest map — without running a bench.
+    *
+    * Stdout ladder (most- to least-detailed; [[budgetedLine]] keeps the
+    * first candidate within [[LineBudget]]):
+    *   1. slowest-15 map, ≤[[OverBandNamesCap]] over names, failed names
+    *   2. slowest-15 map, top-[[OverBandKeepCap]] over names, failed names
+    *   3+ slowest-k map (k = 15..0), top-3 over names, failed NAMES
+    *      dropped (never the n_failed count)
+    * The k=0 rung is bounded by construction over the fixed 134-name
+    * population: counts (~40 B) + ≤[[RetryCap]] retried names (~530 B
+    * worst) + 3 over names (~120 B) + fixed keys + sf (~190 B) ≈ 880 B
+    * < LineBudget — so the top-3 over_band names survive EVERY
+    * degradation (r17 fix: they used to be the FIRST thing dropped,
+    * leaving over_band:42 nameless), and only slowest-map tail entries
+    * and the failed name list are shed. The detail line always carries
+    * all queries, the uncapped residue, and the full failed list. */
+  def summaryLines(results: Seq[(String, Double)], failed: Seq[String],
+      retried: Seq[String], band: Map[String, Double],
+      sfDir: String): (String, String) = {
+    // Locale.ROOT: a comma-decimal default locale would print 61,234 and
+    // break the driver's JSON parse of the one line that matters.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val slowest = results.sortBy(-_._2).take(15)
+    // Always carry n_ok/n_failed: round 6's partial total (116 of 134 ran)
+    // was read as a full-suite number because nothing on the line said
+    // otherwise. A partial sum must be impossible to mistake for a full one.
+    val counts =
+      s""","n_ok":${results.size - failed.size},"n_failed":${failed.size}"""
+    def failedJson(names: Seq[String]): String =
+      if (names.isEmpty) ""
+      else names.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // Always present (even empty): "no retries happened" must be readable
+    // off the line, not inferred from a missing key.
+    val retriedJson =
+      retried.map("\"" + _ + "\"").mkString(""","retried":[""", ",", "]")
+    // Post-retry residue count (always present; -1 = defense off, no band):
+    // distinguishes a quiet run (0) from a saturated/ineffective defense
+    // (>0) without the repo checkout — VERDICT r10 "what's wrong" #2.
+    // "drift" = median final/band ratio: the uniform-load signature that
+    // retries cannot and must not erase, disclosed so value/drift gives
+    // the in-band equivalent off the line alone.
+    val overCount = overBandCount(results, band)
+    val drift = sec(bandDriftMedian(results, band))
+    def overJson(names: Seq[String]): String = {
+      val namesJson =
+        if (names.isEmpty) ""
+        else names.map("\"" + _ + "\"")
+          .mkString(""","over_band_names":[""", ",", "]")
+      s""","over_band":$overCount""" + namesJson + s""","drift":$drift"""
+    }
+    def jsonLine(queriesJson: String, names: Seq[String],
+        failedNames: Seq[String]): String =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$queriesJson$counts${failedJson(failedNames)}$retriedJson${overJson(names)},"sf":"$sfDir"}"""
+    // Detail file line: ALL queries, the uncapped residue list, and the
+    // full failed list — a file has no tail-capture bound, nothing trimmed.
+    val detail = jsonLine(fmt(results),
+      overBandNames(results, band, cap = Int.MaxValue), failed)
+    val over = overBandNames(results, band)
+    val stdout = budgetedLine(
+      Seq(jsonLine(fmt(slowest), over, failed),
+        jsonLine(fmt(slowest), over.take(OverBandKeepCap), failed)) ++
+        (slowest.size to 0 by -1).map(k =>
+          jsonLine(fmt(slowest.take(k)), over.take(OverBandKeepCap),
+            Seq.empty)))
+    (detail, stdout)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same ANSI pin as Verify (r17 ADVICE): the timed queries must run
+      // under the exact arithmetic contract the correctness gate runs
+      // under, regardless of host spark-defaults. sys.props first so a
+      // deliberate -D mode injection still lands.
+      .config("spark.sql.ansi.enabled",
+        sys.props.getOrElse("spark.sql.ansi.enabled", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: planner warnings (e.g. WindowExec's no-partition
@@ -287,63 +381,19 @@ object Bench {
       n -> math.min(t, betterTimes.getOrElse(n, t))
     }
     val failed = runs.collect { case (n, _, false) => n }
-    // Locale.ROOT: a comma-decimal default locale would print 61,234 and
-    // break the driver's JSON parse of the one line that matters.
-    def sec(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def fmt(pairs: Seq[(String, Double)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val slowest = results.sortBy(-_._2).take(15)
-    // Always carry n_ok/n_failed: round 6's partial total (116 of 134 ran)
-    // was read as a full-suite number because nothing on the line said
-    // otherwise. A partial sum must be impossible to mistake for a full one.
-    val counts = s""","n_ok":${runs.count(_._3)},"n_failed":${failed.size}"""
-    def failedJson(names: Seq[String]): String =
-      if (names.isEmpty) ""
-      else names.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    // Always present (even empty): "no retries happened" must be readable
-    // off the line, not inferred from a missing key.
-    val retriedJson =
-      retried.map("\"" + _ + "\"").mkString(""","retried":[""", ",", "]")
-    // Post-retry residue count (always present; -1 = defense off, no band):
-    // distinguishes a quiet run (0) from a saturated/ineffective defense
-    // (>0) without the repo checkout — VERDICT r10 "what's wrong" #2.
-    // "drift" = median final/band ratio: the uniform-load signature that
-    // retries cannot and must not erase, disclosed so value/drift gives
-    // the in-band equivalent off the line alone.
-    val overCount = overBandCount(results, band)
-    val drift = sec(bandDriftMedian(results, band))
-    def overJson(names: Seq[String]): String = {
-      val namesJson =
-        if (names.isEmpty) ""
-        else names.map("\"" + _ + "\"")
-          .mkString(""","over_band_names":[""", ",", "]")
-      s""","over_band":$overCount""" + namesJson + s""","drift":$drift"""
-    }
-    def jsonLine(queriesJson: String, names: Seq[String],
-        failedNames: Seq[String]): String =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$queriesJson$counts${failedJson(failedNames)}$retriedJson${overJson(names)},"sf":"$sfDir"}"""
-    // Detail file: ALL queries, the uncapped residue list, and the full
-    // failed list — a file has no tail-capture bound, nothing is trimmed.
+    // Stdout: the budgetedLine ladder (r14+r15 ADVICE, r17 #2): a
+    // saturated run carrying 16 retried names AND a named residue — or a
+    // mass-failure run carrying up to 134 failed names — could overflow
+    // the driver's ~1 KB tail capture. See [[summaryLines]] for the
+    // degradation order; the detail file keeps the full lists.
+    val (detailLine, stdoutLine) =
+      summaryLines(results, failed, retried, band, sfDir)
     try {
       val w = new java.io.PrintWriter("bench_detail.out.json")
-      w.println(jsonLine(fmt(results),
-        overBandNames(results, band, cap = Int.MaxValue), failed))
+      w.println(detailLine)
       w.close()
     } catch { case _: Throwable => () }
-    // Stdout: ≤OverBandNamesCap residue names, then the budgetedLine
-    // ladder (r14+r15 ADVICE): a saturated run carrying 16 retried names
-    // AND a named residue — or a mass-failure run carrying up to 134
-    // failed names — could overflow the driver's ~1 KB tail capture. The
-    // optional over_band_names key is dropped first, then the failed
-    // NAMES (never the over_band count or n_failed — the counts must
-    // survive every degradation); the detail file keeps the full lists.
-    val over = overBandNames(results, band)
-    println(budgetedLine(Seq(
-      jsonLine(fmt(slowest), over, failed),
-      jsonLine(fmt(slowest), Seq.empty, failed),
-      jsonLine(fmt(slowest), Seq.empty, Seq.empty))))
+    println(stdoutLine)
     spark.stop()
   }
 }

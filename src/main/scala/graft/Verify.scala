@@ -11,6 +11,16 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Pin ANSI explicitly (r17 ADVICE): the whole non-finite safety
+      // contract — guardedCast's "NULL iff non-finite" invariant and the
+      // loud CAST_OVERFLOW at every cents ingress — holds only under
+      // ANSI; a spark-defaults override flipping it off would turn the
+      // guards back into the silent-corruption class they exist to catch
+      // (non-ANSI NaN→long yields 0). sys.props first so dev/parity.sh's
+      // deliberate `ansioff` mode (-Dspark.sql.ansi.enabled=false) still
+      // lands — a hard literal here would silently neuter that axis.
+      .config("spark.sql.ansi.enabled",
+        sys.props.getOrElse("spark.sql.ansi.enabled", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -53,9 +53,18 @@ object Q {
     * unguarded engine; this spelling returns that to noise level. */
   private def guardedCast(c: Column, t: String): Column = {
     val d = c.cast(t)
+    // The "NULL iff non-finite" read of d.isNull relies on ANSI (pinned
+    // explicitly in every session builder since r18 — Verify/Bench/
+    // TestSpark); under a non-ANSI session an out-of-range FINITE double
+    // also casts to NULL, so the message self-discloses isnan/isinf
+    // (r17 ADVICE): a misconfigured session reports the value and
+    // isnan=false/isinf=false instead of misattributing a boundary
+    // overflow as a non-finite ingress. Error branch only — the hot
+    // path still evaluates just the cast + null test.
     when(d.isNull && c.isNotNull,
       raise_error(format_string(
-        "non-finite double at a money/value ingress: %s", c)).cast(t))
+        "non-finite double at a money/value ingress: %s (isnan=%s, isinf=%s)",
+        c, isnan(c), abs(c) === lit(Double.PositiveInfinity))).cast(t))
       .otherwise(d)
   }
   def dec2(c: Column): Column = guardedCast(c, "decimal(18,2)")

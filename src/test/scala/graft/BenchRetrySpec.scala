@@ -186,4 +186,68 @@ class BenchRetrySpec extends AnyFunSuite {
       .map(i => f""""q$i%03d_some_query_name"""").mkString(""","failed":[""", ",", "]")
     assert(massFailure.length > Bench.LineBudget)
   }
+
+  private def overNamesOn(line: String): Seq[String] =
+    """"over_band_names":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+      .map(_.group(1).split(",").filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  test("BENCH_r17 topology: top-3 over_band names survive the saturated line") {
+    // The r17 driver line read "over_band":42 with ZERO names — the old
+    // ladder dropped the whole list on its first degradation (16 retried
+    // names + the 15-slowest map left no room for 8 names), so a reader
+    // could not distinguish "42 uniform noise" from "42 regressions" off
+    // the line. The ladder now trims the list to the worst
+    // OverBandKeepCap names and sheds slowest-map TAIL entries instead.
+    val names = (1 to 134).map(i => f"q$i%03d_realistic_name")
+    val band = names.map(_ -> 0.5).toMap
+    // 42 queries over the 2.0 trigger (worst ratios at the top indices);
+    // the other 92 at the r17 drift (~1.7x, under the trigger).
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i >= 92) 0.5 * (3.0 + i * 0.01) else 0.85)
+    }
+    val retried = names.takeRight(16) // the saturated RetryCap, as in r17
+    val (detail, stdout) = Bench.summaryLines(results, Seq.empty, retried,
+      band, "/root/testdata/sf0.1")
+    assert(stdout.length <= Bench.LineBudget)
+    assert(stdout.contains(""""over_band":42"""))
+    val got = overNamesOn(stdout)
+    assert(got.size === Bench.OverBandKeepCap)
+    assert(got.head === "\"q134_realistic_name\"") // worst ratio leads
+    // Counts and the full retried list survive every degradation.
+    assert(stdout.contains(""""n_ok":134,"n_failed":0"""))
+    assert(stdout.contains("\"q119_realistic_name\""))
+    // The untracked detail line carries the UNCAPPED 42-name residue.
+    assert(overNamesOn(detail).size === 42)
+    assert(detail.contains(""""over_band":42"""))
+  }
+
+  test("summaryLines k=0 rung is bounded: adversarial names + mass failure") {
+    // Worst case over any plausible topology: 30-char names everywhere,
+    // 16 failed queries (their names dropped from later rungs; the
+    // n_failed count never), a saturated retried list, and a 118-name
+    // residue. The final rung (empty queries map, no failed names, top-3
+    // over names) must fit the budget BY CONSTRUCTION — budgetedLine's
+    // unconditional last-candidate emission relies on it.
+    val names = (1 to 134).map(i => f"q$i%03d_" + "x" * 24) // 29-30 B names
+    val band = names.map(_ -> 0.5).toMap
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 16) -1.0 else 500.0 + i) // 16 failed, 118 far over band
+    }
+    val failed = names.take(16)
+    val retried = names.takeRight(Bench.RetryCap)
+    val (_, stdout) = Bench.summaryLines(results, failed, retried, band,
+      "/root/testdata/sf0.1")
+    assert(stdout.length <= Bench.LineBudget,
+      s"final rung must be bounded, got ${stdout.length} B")
+    assert(stdout.contains(""""n_ok":118,"n_failed":16"""))
+    assert(stdout.contains(""""over_band":118"""))
+    assert(overNamesOn(stdout).size === Bench.OverBandKeepCap)
+    // A quiet line pays zero bytes for the key and keeps all 15 slowest.
+    val quiet = names.map(_ -> 0.5)
+    val (_, quietLine) = Bench.summaryLines(quiet, Seq.empty, Seq.empty,
+      band, "/root/testdata/sf0.1")
+    assert(!quietLine.contains("over_band_names"))
+    assert(quietLine.contains(""""over_band":0"""))
+  }
 }

@@ -76,19 +76,25 @@ class StressSweepSpec extends AnyFunSuite {
   }
 
   /** Three-way expected set (r17 session 2): the UNION of the non-finite
-    * map and the designed vocab-guard trio. Two adjudications specific to
-    * the composition: (a) q112/q129 abort at the non-finite GUARD rather
-    * than the boundary detonation this corpus also carries — the NaN
-    * price row evaluates before the 9.9e13 sum exceeds its bound
-    * (deterministic for the fixed fixture; the two-way sweep above still
-    * pins the CAST_OVERFLOW detonation); (b) q78/q133 flip from the
-    * two-way sweep's vocab kind only in WRAPPER (direct USER_RAISED vs
-    * stage-materialization), same message — the substring match is
-    * wrapper-agnostic by design. */
-  private val triExpected: Map[String, String] =
-    NonFiniteExpectations.expected ++ Seq(
-      "q33_neardup_pairs", "q78_dedup_clusters", "q133_dedup_roi")
-      .map(_ -> "vocabulary exceeds 64 words")
+    * map and the designed vocab-guard trio, with each name mapped to the
+    * SET of acceptable kind substrings. Adjudications specific to the
+    * composition: (a) q112/q129 carry TWO coexisting adjudicated failure
+    * modes on this corpus — the non-finite guard AND the boundary
+    * CAST_OVERFLOW detonation — and which exception surfaces first from a
+    * failed stage depends on task scheduling (partitioning, core count),
+    * not just the fixed fixture (r17 ADVICE: a single-kind pin here is
+    * machine-dependent). Either kind proves the abort is the adjudicated
+    * class, so both are accepted; the single-axis sweeps above/in
+    * NonFiniteInputSpec still pin each mode individually on corpora where
+    * only one exists. (b) q78/q133 flip from the two-way sweep's vocab
+    * kind only in WRAPPER (direct USER_RAISED vs stage-materialization),
+    * same message — the substring match is wrapper-agnostic by design. */
+  private val triExpected: Map[String, Set[String]] =
+    NonFiniteExpectations.expected.view.mapValues(k => Set(k)).toMap ++
+      Seq("q33_neardup_pairs", "q78_dedup_clusters", "q133_dedup_roi")
+        .map(_ -> Set("vocabulary exceeds 64 words")) ++
+      Seq("q112_part_value_share", "q129_pareto_classes")
+        .map(_ -> Set("non-finite double", "CAST_OVERFLOW"))
 
   test("three-way (skew x boundary x non-finite) failure set matches") {
     assume(gate, "set GRAFT_STRESS=1 to run the three-way stress sweep")
@@ -108,10 +114,11 @@ class StressSweepSpec extends AnyFunSuite {
     assert(missing.isEmpty,
       s"adjudicated three-way aborts no longer abort — re-adjudicate: " +
         missing.toSeq.sorted.mkString(", "))
-    triExpected.foreach { case (name, kind) =>
+    triExpected.foreach { case (name, kinds) =>
       val msg = chain(failures(name))
-      assert(msg.contains(kind),
-        s"$name failed with the WRONG kind (want substring '$kind'): " +
+      assert(kinds.exists(msg.contains),
+        s"$name failed with the WRONG kind (want one of " +
+          s"${kinds.mkString("'", "' / '", "'")}): " +
           msg.linesIterator.next())
     }
   }

@@ -25,6 +25,14 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Pin ANSI explicitly (r17 ADVICE): the non-finite guard contract
+      // (guardedCast's "NULL iff non-finite", the loud CAST_OVERFLOW at
+      // cents ingresses) depends on ANSI semantics — every abort-kind
+      // pin in the axis specs would silently test the wrong contract
+      // under a spark-defaults override. sys.props first so a deliberate
+      // -D mode injection (the dev/parity.sh ansioff idiom) still lands.
+      .config("spark.sql.ansi.enabled",
+        sys.props.getOrElse("spark.sql.ansi.enabled", "true"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
