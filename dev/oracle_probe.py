@@ -131,8 +131,40 @@ r = con.execute("""
 pin("nan_gt_everything", r[0] is True, f"NaN > 1e308 returned {r[0]}")
 pin("max_picks_nan", r[1] != r[1], f"MAX over {{1.0, NaN}} returned {r[1]}")
 
+# -- pin 7: unicode text-function tier (the seventh axis's exclusions) ---
+# The r18 probe session mapped Spark 4.1.2 vs duckdb 1.0.0 over every
+# text function the query surface uses; the engines agree on code-point
+# semantics EXCEPT these four, which the unicode fixture therefore
+# excludes from case/levenshtein/trim-reaching columns
+# (UnicodeFixture/UnicodeInputSpec pin the Spark side: FULL case
+# mappings, code-point levenshtein, ASCII-only trim). If a duckdb
+# upgrade changes tier here, the exclusion list must be re-adjudicated —
+# refuse the preflight rather than let the seam drift silently.
+DOTTED_I = "İ"          # LATIN CAPITAL LETTER I WITH DOT ABOVE
+SHARP_S = "ß"           # LATIN SMALL LETTER SHARP S
+CAP_SHARP_S = "ẞ"
+FI_LIG = "ﬁ"            # LATIN SMALL LIGATURE FI
+ASTRAL3 = "\U0001F389x\U0001D54F"  # 3 code points, 9 UTF-8 bytes
+r = con.execute(
+    "SELECT lower(?), upper(?), upper(?), levenshtein(?, 'abc'), trim(?)",
+    [DOTTED_I, SHARP_S, FI_LIG, ASTRAL3, " x "],
+).fetchone()
+pin("simple_lower_dotted_i", r[0] == "i",
+    f"duckdb lower(U+0130) changed tier: got {r[0]!r} — re-adjudicate the "
+    "unicode axis exclusions (UnicodeFixture scaladoc + group-7 header)")
+pin("simple_upper_sharp_s", r[1] == CAP_SHARP_S,
+    f"duckdb upper(sharp-s) changed tier: got {r[1]!r}")
+pin("simple_upper_fi_ligature", r[2] == FI_LIG,
+    f"duckdb upper(fi-ligature) changed tier: got {r[2]!r}")
+pin("levenshtein_counts_bytes", r[3] == 9,
+    f"duckdb levenshtein unit changed: got {r[3]}, byte-count would be 9 "
+    "(Spark counts code points = 3; p_type must stay organic while this seam exists)")
+pin("trim_strips_unicode_ws", r[4] == "x",
+    f"duckdb trim(U+00A0..U+00A0) changed: got {r[4]!r} — edge-whitespace "
+    "exclusion in the unicode fixture keys off this")
+
 if FAIL:
     for f in FAIL:
         print(f"[oracle_probe] FAIL {f}")
     sys.exit(1)
-print(f"[oracle_probe] PASS 13 pins (duckdb {duckdb.__version__})")
+print(f"[oracle_probe] PASS 18 pins (duckdb {duckdb.__version__})")
