@@ -163,8 +163,41 @@ pin("trim_strips_unicode_ws", r[4] == "x",
     f"duckdb trim(U+00A0..U+00A0) changed: got {r[4]!r} — edge-whitespace "
     "exclusion in the unicode fixture keys off this")
 
+# -- pin 8: temporal semantics at calendar extremes (the eighth axis) ----
+# The r18 probe mapped Spark 4.1.2 vs duckdb 1.0.0 at year 1 / 9999 /
+# the epoch edge / the 1582 Julian gap: the engines AGREE value-for-value
+# on date_trunc, epoch µs, ts→date, year(), and proleptic-Gregorian
+# date_diff (Spark side pinned in TemporalInputSpec). These pins freeze
+# the oracle tier; a duckdb upgrade that changes calendar (e.g. starts
+# skipping the Julian gap, or shifts pre-epoch flooring) must REFUSE
+# preflight — the temporal fixture's oracle compare rides on them.
+r = con.execute("""
+    SELECT epoch_us(TIMESTAMP '0001-01-01 00:00:00'),
+           epoch_us(TIMESTAMP '9999-12-31 23:59:59.999999'),
+           epoch_us(TIMESTAMP '1969-12-31 23:59:59.999999'),
+           date_diff('day', DATE '1582-10-04', DATE '1582-10-15'),
+           CAST(date_trunc('day', TIMESTAMP '1969-12-31 10:11:12') AS DATE),
+           date_trunc('hour', TIMESTAMP '0001-01-02 03:04:05.678901'),
+           year(TIMESTAMP '9999-12-30 23:59:59.999999')
+""").fetchone()
+pin("epoch_us_year1", r[0] == -62135596800000000,
+    f"duckdb epoch_us(0001-01-01) = {r[0]}, expected -62135596800000000")
+pin("epoch_us_9999", r[1] == 253402300799999999,
+    f"duckdb epoch_us(9999 end) = {r[1]}")
+pin("epoch_us_minus1", r[2] == -1, f"duckdb epoch µs before epoch = {r[2]}")
+pin("proleptic_julian_gap", r[3] == 11,
+    f"duckdb date_diff over the 1582 Julian gap = {r[3]}, proleptic "
+    "Gregorian (= Spark) counts 11 — calendar tier changed, re-adjudicate "
+    "the temporal axis")
+pin("preepoch_day_floor", str(r[4]) == "1969-12-31",
+    f"duckdb date_trunc('day') below the epoch = {r[4]}, must floor to "
+    "the calendar day, not truncate toward zero")
+pin("trunc_hour_year1", str(r[5]) == "0001-01-02 03:00:00",
+    f"duckdb date_trunc('hour') at year 1 = {r[5]}")
+pin("year_9999", r[6] == 9999, f"duckdb year() at 9999 = {r[6]}")
+
 if FAIL:
     for f in FAIL:
         print(f"[oracle_probe] FAIL {f}")
     sys.exit(1)
-print(f"[oracle_probe] PASS 18 pins (duckdb {duckdb.__version__})")
+print(f"[oracle_probe] PASS 25 pins (duckdb {duckdb.__version__})")

@@ -71,7 +71,15 @@ def normalize(exp, got):
             v = first_non_null(df[c])
             if df[c].dtype == object and isinstance(v, datetime.date) \
                and not isinstance(v, datetime.datetime):
-                df[c] = pd.to_datetime(df[c])
+                # astype, NOT pd.to_datetime: to_datetime goes through
+                # datetime64[ns], whose range is 1677..2262 — the temporal
+                # axis (r18) legitimately emits year-1/9999 DATE cells,
+                # which are exact in [us] on BOTH sides (duckdb .df()
+                # already delivers DATE as datetime64[us]). Value-identical
+                # to the old spelling for every in-range date; the r02
+                # driver-proven tolerance (date objects vs datetime64) is
+                # unchanged.
+                df[c] = df[c].astype("datetime64[us]")
         if str(exp[c].dtype).startswith("datetime64") and str(got[c].dtype).startswith("datetime64"):
             exp[c] = exp[c].astype("datetime64[us]")
             got[c] = got[c].astype("datetime64[us]")

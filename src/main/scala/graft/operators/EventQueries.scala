@@ -220,6 +220,23 @@ object EventQueries {
               .as("last_cents"))
         val spine = e.groupBy("user_id")
           .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          // Runtime tripwire (r18 temporal axis), zero extra jobs: this is
+          // the engine's ONLY data-extent-driven generated dimension —
+          // sequence() materializes (h1−h0) hourly rows PER USER, so one
+          // corrupted far-past/future timestamp (year 0001/9999 arrives
+          // in-schema from any upstream s/ms/µs unit confusion) would
+          // materialize ~87.6M spine rows for that user. The oracle's
+          // generate_series explodes IDENTICALLY — symmetry is no defense
+          // when the failure mode is an OOM'd stage, not a wrong value.
+          // Bound the backfill window loudly: 20 years of hourly spine
+          // (175,320 rows/user, vs the 30-day organic domain) is generous
+          // for a metrics backfill; beyond it fail with instructions, like
+          // the q33 64-word vocabulary guard.
+          .filter(expr("ifnull(assert_true(unix_micros(h1) - unix_micros(h0)" +
+            " <= 631152000000000, 'gap-fill spine exceeds 20 years for a " +
+            "user: a timestamp is likely corrupt (far-past/future); clamp " +
+            "the observation window upstream or raise the q101 spine cap')" +
+            ", true)"))
           .select(col("user_id"),
             explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
         val w = Window.partitionBy("user_id").orderBy("hour")
