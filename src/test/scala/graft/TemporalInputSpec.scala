@@ -118,6 +118,26 @@ class TemporalInputSpec extends AnyFunSuite {
     assert(us(2L) == -1L, "epoch-minus-1µs NTZ reinterpretation")
   }
 
+  test("window() boundaries equal date_trunc at every extreme (the lambda seam)") {
+    // The lambda architecture's batch views bucket with date_trunc while
+    // the streaming speed views bucket with window() — two DIFFERENT
+    // boundary computations (calendar truncation vs epoch-µs floor
+    // division). If they ever disagree, the q48-class batch+speed union
+    // splits SILENTLY on the disagreeing bucket. Probed equal at every
+    // corpus extreme (incl. pre-epoch flooring, where a
+    // truncate-toward-zero floor division would round the WRONG way);
+    // pinned here so a Spark upgrade changing either side is loud.
+    import spark.implicits._
+    val probe = TemporalFixture.EventClasses.map(_._2).toDF("s")
+      .select(expr("cast(s as timestamp)").as("ts"))
+    Seq("hour" -> "1 hour", "day" -> "1 day").foreach { case (unit, win) =>
+      val bad = probe.groupBy(window(col("ts"), win), col("ts")).count()
+        .filter(col("window.start") =!= date_trunc(unit, col("ts")))
+        .count()
+      assert(bad == 0L, s"window($win) start diverged from date_trunc($unit)")
+    }
+  }
+
   test("fixture properties: every class lands; lead-times realize both signs") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(pmod(col("event_id"), lit(101)).as("cls")).groupBy("cls")
