@@ -122,4 +122,33 @@ class StressSweepSpec extends AnyFunSuite {
           msg.linesIterator.next())
     }
   }
+
+  test("temporal x skew failure set is exactly the q101 spine guard") {
+    assume(gate, "set GRAFT_STRESS=1 to run the temporal x skew sweep")
+    // Temporal classes composed ON TOP of the duplicate-key corpus:
+    // MegaOrder = MegaUser = 0 land in temporal class 0 on every modulus,
+    // so the 10^5-row mega-order carries l_shipdate 0001-01-03 through
+    // the skewed join (o_orderdate 0001-01-01 on its order row) and the
+    // mega-user's stream spans 0001..9999. Adjudication: calendar
+    // extremes stay LEGAL VALUES under pathological key distributions —
+    // the only abort is q101's designed spine cap, whose kind must
+    // surface unchanged from the skewed per-user aggregation (a
+    // scheduling-independent single kind: no competing adjudicated
+    // failure mode exists on this corpus, unlike the tri sweep's
+    // q112/q129 pair).
+    val spark = TestSpark.spark
+    val dir = TemporalFixture.build(spark, SkewFixture.build(spark))
+    val failures: Map[String, Throwable] = Registry.all.flatMap { q =>
+      try { TestSpark.materialize(q.fn(spark, dir)); None }
+      catch { case t: Throwable => Some(q.name -> t) }
+    }.toMap
+    assert(failures.keySet == Set("q101_gap_fill"),
+      s"temporal x skew failure set drifted: " +
+        failures.map { case (n, t) =>
+          s"$n: ${chain(t).linesIterator.next()}" }.mkString("; "))
+    val msg = chain(failures("q101_gap_fill"))
+    assert(msg.contains("USER_RAISED_EXCEPTION") &&
+      msg.contains("spine exceeds 20 years"),
+      s"q101 aborted with the wrong kind under skew: ${msg.take(300)}")
+  }
 }

@@ -88,11 +88,19 @@ object TemporalFixture {
       acc.when(pmod(key, lit(m)) === k, expr(s"timestamp_ntz'$ts'"))
     }.otherwise(c)
 
-  /** Build the corpus under a fresh temp dir; returns the dir. */
-  def build(spark: SparkSession): String = {
+  /** Build the corpus under a fresh temp dir; returns the dir.
+    *
+    * `base` defaults to the organic sf0.001 corpus; passing
+    * SkewFixture.build's dir instead composes the temporal classes ON TOP
+    * of the duplicate-key pathologies (the StressSweepSpec temporal×skew
+    * sweep) — the skew corpus preserves the organic NTZ encodings, and
+    * MegaOrder = MegaUser = 0 land in temporal class 0 on every modulus,
+    * so the 10⁵-row mega-order carries year-1 dates through the skewed
+    * join and the mega-user's event stream spans 0001..9999. */
+  def build(spark: SparkSession, base: String = TestSpark.sf0001): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-temporal-sf")
       .toString
-    val sf = TestSpark.sf0001
+    val sf = base
 
     Seq("region", "nation", "customer", "supplier", "part", "documents",
       "embeddings").foreach { t =>
