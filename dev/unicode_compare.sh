@@ -67,4 +67,26 @@ for t in region nation customer supplier part orders lineitem events \
 done
 
 echo "=== [4/4] compare every oracled query against DuckDB"
+# Coverage tripwire (r18 ADVICE #1): verify_local.py FAILs on a missing
+# ORACLED output dir, but a rows-only (non-oracled) query that aborts
+# leaves no output dir and would silently vanish from the "11 rows-only"
+# coverage — and a spurious extra dir would silently widen it. Assert the
+# exact output-dir census (123 oracled + 11 rows-only) before comparing,
+# the same N_GREEN discipline temporal_compare.sh applies to its 122.
+COUNTS=$(python3 - "$OUT" <<'EOF'
+import json, os, glob, sys
+out = sys.argv[1]
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+green = [d for d in os.listdir(out)
+         if os.path.isdir(f"{out}/{d}") and glob.glob(f"{out}/{d}/*.parquet")]
+print(len(set(green) & set(oracle)), len(set(green) - set(oracle)))
+EOF
+)
+N_ORACLED=${COUNTS% *}
+N_ROWS_ONLY=${COUNTS#* }
+{ [ "$N_ORACLED" -eq 123 ] && [ "$N_ROWS_ONLY" -eq 11 ]; } || {
+  echo "FAIL: output-dir census drifted: $N_ORACLED oracled + $N_ROWS_ONLY rows-only (expected 123 + 11)"
+  exit 1
+}
+echo "output-dir census: $N_ORACLED oracled + $N_ROWS_ONLY rows-only (as designed)"
 python3 dev/verify_local.py "$FLAT" "$OUT" | tail -1

@@ -231,8 +231,15 @@ object EventQueries {
           // Bound the backfill window loudly: 20 years of hourly spine
           // (175,320 rows/user, vs the 30-day organic domain) is generous
           // for a metrics backfill; beyond it fail with instructions, like
-          // the q33 64-word vocabulary guard.
-          .filter(expr("ifnull(assert_true(unix_micros(h1) - unix_micros(h0)" +
+          // the q33 64-word vocabulary guard. The h0-IS-NULL screen (r18
+          // ADVICE): a user whose every ts is NULL has NULL h0/h1, and
+          // assert_true THROWS on a NULL condition — which would turn the
+          // pre-guard semantics (sequence(NULL,..) → NULL → explode drops
+          // the user silently) into a whole-query abort at real ingress.
+          // NULL extents are not a corrupt-magnitude signal, so they pass
+          // the guard and keep the original drop-the-user behavior.
+          .filter(expr("ifnull(assert_true(h0 IS NULL OR " +
+            "unix_micros(h1) - unix_micros(h0)" +
             " <= 631152000000000, 'gap-fill spine exceeds 20 years for a " +
             "user: a timestamp is likely corrupt (far-past/future); clamp " +
             "the observation window upstream or raise the q101 spine cap')" +

@@ -40,9 +40,11 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.parseBand("""{"metric":"total","value":1.0}""") === Map.empty)
   }
 
-  test("retryPlan selects only >factor× outliers, worst ratio first") {
+  test("retryPlan selects only >factor× outliers, largest excess first") {
     val band = Bench.parseBand(bandLine)
-    // The round-9 driver numbers: q48 37.7x, q59 19.8x, q47 10.7x; q01 quiet.
+    // The round-9 driver numbers: q48 18.6 s over band, q59 14.4 s over,
+    // q47 4.9 s over; q01 quiet. (Here ratio order and excess order
+    // coincide; the BENCH_r18 pin below is where they diverge.)
     val times = Seq(
       "q01_agg" -> 0.350,
       "q47_upsert_merge" -> 5.453,
@@ -50,6 +52,42 @@ class BenchRetrySpec extends AnyFunSuite {
       "q59_returned_items" -> 15.192)
     assert(Bench.retryPlan(times, band) ===
       Seq("q48_lambda_view_union", "q59_returned_items", "q47_upsert_merge"))
+  }
+
+  test("BENCH_r18 topology: the cap goes to absolute excess — q133 first") {
+    // The r18 driver run (the motivating live failure, VERDICT r18 #2):
+    // the 16 retry slots — then RATIO-ordered — all went to small-band
+    // queries whose first samples read 3-4× under uniform burst load
+    // (trivial absolute excess, q56's band is 73 ms), while
+    // q133_dedup_roi's 13.112 s first sample (2.98× its 4.398 s band =
+    // 8.714 s of excess, 15% of the run's total inflation and its single
+    // largest correctable term) ranked 17th by ratio and was never
+    // retried. Band entries below are the committed band's real values
+    // for the 16 names BENCH_r18 actually retried; first samples are
+    // placed at a uniform 3.2× (all ABOVE q133's 2.98 ratio, so the old
+    // ordering provably excludes q133 on this exact topology).
+    val smallBands = Seq(
+      "q12_cube_lineitem" -> 0.417, "q51_simhash_neardup" -> 1.542,
+      "q129_pareto_classes" -> 1.089, "q52_embedding_lsh_ann" -> 0.609,
+      "q130_basket_pairs" -> 1.819, "q56_json_struct" -> 0.073,
+      "q53_multimodal_meta" -> 0.102, "q57_shipping_priority" -> 0.553,
+      "q54_udf_vowel_density" -> 0.102, "q55_udaf_lang_sketch" -> 0.161,
+      "q132_retention_matrix" -> 0.614, "q27_json_props" -> 0.419,
+      "q128_activity_streaks" -> 0.209, "q21_value_percentiles" -> 0.18,
+      "q23_acctbal_stats" -> 0.221, "q131_leadtime_percentiles" -> 0.449)
+    val band = (smallBands :+ ("q133_dedup_roi" -> 4.398)).toMap
+    val times = smallBands.map { case (n, b) => n -> b * 3.2 } :+
+      ("q133_dedup_roi" -> 13.112)
+    val plan = Bench.retryPlan(times, band)
+    assert(plan.size === Bench.RetryCap) // 17 candidates, 16 slots
+    // The 8.7 s correctable term now leads the plan instead of missing it.
+    assert(plan.head === "q133_dedup_roi")
+    // The one slot q133 takes comes from the SMALLEST absolute excess
+    // (q56: 0.073 band × 2.2 excess-multiple = 0.16 s — the least a
+    // retry could ever win back), not from any material candidate.
+    assert(!plan.contains("q56_json_struct"))
+    assert(smallBands.map(_._1).filterNot(_ == "q56_json_struct")
+      .forall(plan.contains))
   }
 
   test("retryPlan boundary: exactly factor× is NOT an outlier, just above is") {
@@ -73,7 +111,7 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(plan.size === Bench.RetryCap)
     assert(Bench.RetryCap === 16) // raised from 10 after r10 saturated
     assert(plan.size < 50 / 2)    // most of the suite keeps its first sample
-    assert(plan.head === "q50")   // worst ratio first
+    assert(plan.head === "q50")   // largest excess first
   }
 
   test("overBandCount counts post-retry residue; -1 flags a missing band") {
@@ -92,7 +130,7 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.overBandCount(finals, Map("q_gone" -> 1.0)) === -1)
   }
 
-  test("overBandNames names exactly overBandCount's residue, worst first, capped") {
+  test("overBandNames names exactly overBandCount's residue, largest excess first, capped") {
     val band = Map("qa" -> 1.0, "qb" -> 1.0, "qc" -> 1.0, "qz" -> 0.0)
     val finals = Seq(
       "qa" -> 0.9,   // quiet
@@ -121,7 +159,7 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(names.size === Bench.OverBandNamesCap)
     assert(Bench.OverBandNamesCap === 8)
     assert(Bench.OverBandNamesCap < Bench.RetryCap)
-    assert(names.head === "q50") // worst ratio leads
+    assert(names.head === "q50") // largest excess leads
     assert(Bench.overBandCount(wideFinals, wideBand) === 50) // uncapped count
   }
 
@@ -213,7 +251,7 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(stdout.contains(""""over_band":42"""))
     val got = overNamesOn(stdout)
     assert(got.size === Bench.OverBandKeepCap)
-    assert(got.head === "\"q134_realistic_name\"") // worst ratio leads
+    assert(got.head === "\"q134_realistic_name\"") // largest excess leads
     // Counts and the full retried list survive every degradation.
     assert(stdout.contains(""""n_ok":134,"n_failed":0"""))
     assert(stdout.contains("\"q119_realistic_name\""))

@@ -151,4 +151,41 @@ class StressSweepSpec extends AnyFunSuite {
       msg.contains("spine exceeds 20 years"),
       s"q101 aborted with the wrong kind under skew: ${msg.take(300)}")
   }
+
+  test("unicode x skew failure set is exactly the designed vocab-guard trio") {
+    assume(gate, "set GRAFT_STRESS=1 to run the unicode x skew sweep")
+    // Unicode pathology composed ON TOP of the duplicate-key corpus — the
+    // last untried pairing of the eight axes. Adjudication BY COUNTED
+    // ARITHMETIC, not hope: the organic sf0.001 vocabulary is 31 tokens,
+    // SkewFixture.SharedText adds 25 new ones (56 total — why skew alone
+    // and temporal × skew never fire the guard), and the unicode 12-token
+    // pool pushes the corpus to 68 > 64 — so the q33/q78/q133 bitmask
+    // vocabulary guard MUST fire, loudly, exactly as designed (the guard
+    // exists to refuse open vocabularies and point at the q50 MinHash/LSH
+    // path; a composition that widens the vocabulary past the budget is
+    // the guard working, not unicode breaking). Everything else must stay
+    // green: pathological TEXT remains a legal VALUE under 10⁵-row
+    // mega-keys — NFC/NFD twins, astral pairs, and embedded NULs flow
+    // through the skewed shuffles/joins/windows without a single new
+    // abort, and the skew mega-user's organic 30-day span keeps q101's
+    // spine guard an identity.
+    val spark = TestSpark.spark
+    val dir = UnicodeFixture.build(spark, SkewFixture.build(spark))
+    val failures: Map[String, Throwable] = Registry.all.flatMap { q =>
+      try { TestSpark.materialize(q.fn(spark, dir)); None }
+      catch { case t: Throwable => Some(q.name -> t) }
+    }.toMap
+    val vocabTrio =
+      Set("q33_neardup_pairs", "q78_dedup_clusters", "q133_dedup_roi")
+    assert(failures.keySet == vocabTrio,
+      s"unicode x skew failure set drifted from the vocab trio: " +
+        failures.map { case (n, t) =>
+          s"$n: ${chain(t).linesIterator.next()}" }.mkString("; "))
+    vocabTrio.foreach { name =>
+      val msg = chain(failures(name))
+      assert(msg.contains("vocabulary exceeds 64 words"),
+        s"$name aborted with the wrong kind (want the designed vocab " +
+          s"guard): ${msg.linesIterator.next()}")
+    }
+  }
 }

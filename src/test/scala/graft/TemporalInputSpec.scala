@@ -64,6 +64,30 @@ class TemporalInputSpec extends AnyFunSuite {
       Registry.queries("q101_gap_fill")(spark, TestSpark.sf0001))
   }
 
+  test("q101 null-extent screen: an all-null-ts user drops silently, never aborts") {
+    // r18 ADVICE #2: assert_true THROWS on a NULL condition, so before
+    // the h0-IS-NULL screen a user whose every ts is NULL (h0/h1 both
+    // NULL after the min/max aggregate) aborted the WHOLE query — where
+    // the pre-guard semantics dropped that user silently via
+    // sequence(NULL, NULL) → NULL → explode. NULL extents carry no
+    // corrupt-magnitude signal, so the guard must pass them through and
+    // keep the original drop-the-user behavior at real ingress.
+    val nd = java.nio.file.Files.createTempDirectory("graft-nullts").toString
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val tsType = ev.schema("ts").dataType
+    ev.withColumn("ts",
+        when(col("user_id") === 7L, lit(null).cast(tsType))
+          .otherwise(col("ts")))
+      .coalesce(1).write.parquet(s"$nd/events.parquet")
+    val out = Registry.queries("q101_gap_fill")(spark, nd)
+    TestSpark.materialize(out)
+    val users = out.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!users.contains(7L),
+      "the all-null-ts user must be dropped from the spine, not spined")
+    assert(users.nonEmpty, "other users must keep their spines")
+  }
+
   test("non-consumers are byte-identical to their organic outputs") {
     // q34 reads only documents, q43 only embeddings — both untouched by
     // this fixture; drift here means a poisoned table leaked into a plan

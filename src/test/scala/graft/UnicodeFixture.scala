@@ -98,11 +98,15 @@ object UnicodeFixture {
     /* 10 interior no-break space */ "x" + cp(0x00A0) + "y",
     /* 11 base + stacked combining marks */ "d" + cp(0x0323, 0x0307))
 
-  /** Build the corpus under a fresh temp dir; returns the dir. */
-  def build(spark: SparkSession): String = {
+  /** Build the corpus under a fresh temp dir; returns the dir. `base`
+    * (r19): compose the unicode poisoning ON TOP of another axis corpus
+    * instead of organic sf0.001 — StressSweepSpec's unicode × skew sweep
+    * passes SkewFixture's output, the TemporalFixture.build(base)
+    * composition idiom. */
+  def build(spark: SparkSession, base: String = TestSpark.sf0001): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-unicode-sf")
       .toString
-    val sf = TestSpark.sf0001
+    val sf = base
 
     Seq("region", "nation", "supplier", "orders", "lineitem", "embeddings")
       .foreach { t =>
