@@ -1,0 +1,78 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Bench-faithful warm-repetition profiler. Unlike [[ProfileQuery]] (which
+  * rides TestSpark's local[4]/4-partition suite session), this builds the
+  * EXACT session Bench.main builds — master local[$SPARK_GRAFT_CPUS],
+  * shuffle.partitions=cpus, ANSI pinned — so warm-rep minima are directly
+  * comparable to committed-band entries, and per-rep job/stage/task counts
+  * expose the scheduler-overhead share of each query's wall time.
+  *
+  *   sbt "Test/runMain graft.BenchProfile q130_basket_pairs q133_dedup_roi"
+  *   SPARK_GRAFT_CPUS=16 sbt "Test/runMain graft.BenchProfile --reps=7 --fresh q130_basket_pairs"
+  *
+  * --fresh invalidates the session memo cache before every rep (the
+  * ProfileQuery caveat: q78/q133-family queries otherwise ride the cached
+  * cluster relation after rep 0). Not part of the test suite.
+  */
+object BenchProfile {
+  def main(args: Array[String]): Unit = {
+    val (flags, names) = args.partition(_.startsWith("--"))
+    def flag(k: String): Option[String] =
+      flags.collectFirst { case f if f.startsWith(s"--$k=") => f.drop(k.length + 3) }
+    val reps = flag("reps").map(_.toInt).getOrElse(7)
+    val fresh = flags.contains("--fresh")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (names.isEmpty || unknown.nonEmpty) {
+      System.err.println(s"unknown or missing queries: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.ansi.enabled",
+        sys.props.getOrElse("spark.sql.ansi.enabled", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new AtomicInteger
+    val tasks = new AtomicInteger
+    val taskTime = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskInfo != null) taskTime.addAndGet(t.taskInfo.duration)
+        ()
+      }
+    })
+    // Bench's exact warm-up set.
+    Seq("q01_pricing_summary", "q03_top_revenue_orders",
+      "q13_top_orders_per_customer", "q35_word_freq", "q28_sessionization",
+      "q38_doc_fingerprint", "q46_array_functions", "q43_cosine_neardup")
+      .foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    names.foreach { q =>
+      val samples = (0 until reps).map { i =>
+        if (fresh) SessionCache.invalidateMemoized(spark)
+        jobs.set(0); tasks.set(0); taskTime.set(0)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150)
+        (wall, jobs.get, tasks.get, taskTime.get / 1e3)
+      }
+      val walls = samples.map(_._1).sorted
+      val med = walls(walls.size / 2)
+      println(f"[bprof] $q%-28s min=${walls.head}%6.3f med=$med%6.3f " +
+        f"jobs=${samples.last._2}%3d tasks=${samples.last._3}%5d task_s=${samples.last._4}%7.2f " +
+        f"all=${samples.map(s => f"${s._1}%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
