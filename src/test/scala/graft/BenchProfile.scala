@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   * --fresh invalidates the session memo cache before every rep (the
   * ProfileQuery caveat: q78/q133-family queries otherwise ride the cached
   * cluster relation after rep 0). Not part of the test suite.
+  *
+  * --ab=key=value runs an interleaved A/B: even reps on the session
+  * default, odd reps with the session conf set — both arms share one JVM
+  * (same JIT/codegen state, same host window), which removes the
+  * run-to-run variance that made separate-JVM A/Bs unreadable (three
+  * "default" samples of q01 read 0.395/0.459/0.631 med across JVMs).
   */
 object BenchProfile {
   def main(args: Array[String]): Unit = {
@@ -57,21 +63,37 @@ object BenchProfile {
       "q13_top_orders_per_customer", "q35_word_freq", "q28_sessionization",
       "q38_doc_fingerprint", "q46_array_functions", "q43_cosine_neardup")
       .foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    val ab = flag("ab").map { kv =>
+      val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
+    }
     names.foreach { q =>
-      val samples = (0 until reps).map { i =>
+      val samples = (0 until (if (ab.isDefined) reps * 2 else reps)).map { i =>
+        val armB = ab.isDefined && i % 2 == 1
+        ab.foreach { case (k, v) =>
+          if (armB) spark.conf.set(k, v) else spark.conf.unset(k)
+        }
         if (fresh) SessionCache.invalidateMemoized(spark)
         jobs.set(0); tasks.set(0); taskTime.set(0)
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(150)
-        (wall, jobs.get, tasks.get, taskTime.get / 1e3)
+        (wall, jobs.get, tasks.get, taskTime.get / 1e3, armB)
       }
-      val walls = samples.map(_._1).sorted
-      val med = walls(walls.size / 2)
-      println(f"[bprof] $q%-28s min=${walls.head}%6.3f med=$med%6.3f " +
-        f"jobs=${samples.last._2}%3d tasks=${samples.last._3}%5d task_s=${samples.last._4}%7.2f " +
-        f"all=${samples.map(s => f"${s._1}%.2f").mkString(",")}")
+      ab.foreach { case (k, _) => spark.conf.unset(k) }
+      def line(tag: String, ss: Seq[(Double, Int, Int, Double, Boolean)]): Unit = {
+        val walls = ss.map(_._1).sorted
+        val med = walls(walls.size / 2)
+        println(f"[bprof] $q%-28s$tag min=${walls.head}%6.3f med=$med%6.3f " +
+          f"jobs=${ss.last._2}%3d tasks=${ss.last._3}%5d task_s=${ss.last._4}%7.2f " +
+          f"all=${ss.map(s => f"${s._1}%.2f").mkString(",")}")
+      }
+      if (ab.isDefined) {
+        // Drop each arm's first sample: rep 0 carries first-touch costs
+        // (codegen, file listing) that would bias arm A.
+        line(" A", samples.filter(!_._5).drop(1))
+        line(" B", samples.filter(_._5).drop(1))
+      } else line("", samples)
     }
     spark.stop()
   }
