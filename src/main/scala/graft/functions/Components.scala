@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Connected components by iterative min-label propagation — the dedup
   * end-game: near-dup PAIRS become CLUSTERS, and each cluster elects a
@@ -26,10 +27,93 @@ object Components {
     * billion-vertex scale broadcasting labels is exactly wrong. */
   private val BroadcastLabelCap = 5000000L
 
+  /** Caps for the single-collect driver fast path (r19, optimization-guide
+    * §8 "decide with small rows"): a graph at or below these sizes is
+    * union-found on the driver in one collect + O(E α(V)) local work,
+    * replacing the loop's per-iteration driver planning (~0.3-0.5 s/round),
+    * label broadcasts and edge-frame shuffles — measured 2.7 s → ~0.3 s on
+    * q133's sf0.1 graph (3,935 vertices / 511,821 edges, 3 rounds). The
+    * bound is the same argument as [[BroadcastLabelCap]]: 4M (long, long)
+    * rows ≈ 64 MB serialized, well under the driver's result-size and heap
+    * limits — and this repo's one call site builds edges by ALL-PAIRS
+    * comparison over distinct token sets, which constrains the vertex count
+    * far more tightly than these caps do. Beyond either cap (or non-long
+    * ids) the distributed loop below stands unchanged — at billion-edge
+    * scale collecting the graph is exactly wrong. */
+  private val DriverVertexCap = 2000000L
+  private val DriverEdgeCap = 4000000L
+
   /** vertices: (id) — one row per vertex; edges: (src, dst) undirected
-    * pairs. Returns (id, rep) with rep = min id in the component. */
+    * pairs. Returns (id, rep) with rep = min id in the component.
+    * `driverVertexCap`/`driverEdgeCap` exist for tests to force either
+    * path (0 = always the distributed loop); production call sites use
+    * the defaults. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverVertexCap: Long = DriverVertexCap,
+      driverEdgeCap: Long = DriverEdgeCap): DataFrame = {
+    driverComponents(vertices, edges, driverVertexCap, driverEdgeCap)
+      .getOrElse(loopComponents(vertices, edges, maxIter))
+  }
+
+  /** Driver union-find over a bounded graph: one limit-guarded collect per
+    * input (the limit(cap+1) makes "too big" observable WITHOUT a separate
+    * count job — if the collect comes back over the cap, fall back to the
+    * loop), path-compressed union-find with min-id roots, and a local
+    * relation out (the caller broadcast-joins it, same as the loop's
+    * result). Long ids only — the loop handles anything least()-comparable,
+    * so non-long schemas simply keep the old path. */
+  private def driverComponents(vertices: DataFrame, edges: DataFrame,
+      vertexCap: Long, edgeCap: Long): Option[DataFrame] = {
+    val longIds = vertices.schema.fields.headOption.exists(_.dataType == LongType) &&
+      edges.schema.fields.forall(_.dataType == LongType)
+    if (!longIds || vertexCap <= 0 || edgeCap <= 0) return None
+    if (vertexCap > Int.MaxValue - 1 || edgeCap > Int.MaxValue - 1) return None
+    val vs = vertices.select(col("id")).limit(vertexCap.toInt + 1).collect()
+    if (vs.length > vertexCap) return None
+    val es = edges.select(col("src"), col("dst")).limit(edgeCap.toInt + 1).collect()
+    if (es.length > edgeCap) return None
+    // Index every id seen (vertices first; edge endpoints outside the vertex
+    // list keep the contract lenient the same way the loop's round-0
+    // neighbor-min does — they participate in min propagation but emit no
+    // output row of their own).
+    val idx = new scala.collection.mutable.LongMap[Int](vs.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](vs.length)
+    def indexOf(id: Long): Int =
+      idx.getOrElse(id, {
+        val i = ids.length; idx.put(id, i); ids += id; i
+      })
+    vs.foreach(r => indexOf(r.getLong(0)))
+    val nV = ids.length // output rows = declared vertices only
+    es.foreach { r => indexOf(r.getLong(0)); indexOf(r.getLong(1)); () }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    // Union with min-ID roots: the root's id IS the component minimum, the
+    // same invariant the loop's least()-propagation converges to.
+    es.foreach { r =>
+      val ra = find(indexOf(r.getLong(0)))
+      val rb = find(indexOf(r.getLong(1)))
+      if (ra != rb) {
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val spark = vertices.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rep", LongType, nullable = false)))
+    val out = (0 until nV).map(i => Row(ids(i), ids(find(i))))
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava), schema))
+  }
+
+  private def loopComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int): DataFrame = {
     // Materialize the (possibly expensive) edge pipeline ONCE — the loop
     // re-reads it every iteration.
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
