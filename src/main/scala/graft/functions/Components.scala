@@ -32,12 +32,15 @@ object Components {
     * union-found on the driver in one collect + O(E α(V)) local work,
     * replacing the loop's per-iteration driver planning (~0.3-0.5 s/round),
     * label broadcasts and edge-frame shuffles — measured 2.7 s → ~0.3 s on
-    * q133's sf0.1 graph (3,935 vertices / 511,821 edges, 3 rounds). The
-    * bound is the same argument as [[BroadcastLabelCap]]: 4M (long, long)
-    * rows ≈ 64 MB serialized, well under the driver's result-size and heap
-    * limits — and this repo's one call site builds edges by ALL-PAIRS
-    * comparison over distinct token sets, which constrains the vertex count
-    * far more tightly than these caps do. Beyond either cap (or non-long
+    * q133's sf0.1 graph (3,935 vertices / 511,821 edges, 3 rounds). Heap
+    * math (r19 ADVICE #3, honest since the r20 primitive-encoder collect):
+    * an edge lands as one specialized Tuple2[Long, Long] (~32 B object +
+    * 8 B array slot), a vertex as an unboxed 8 B long plus ~48 B of
+    * LongMap/buffer bookkeeping — so 4M edges ≈ 160 MB and 2M vertices
+    * ≈ 110 MB of driver heap worst-case. [[driverComponents]] additionally
+    * bounds both collects by maxMemory/512 rows (≥10× slack over the ~40-56
+    * B/row real cost), so a default-1g driver self-limits to ~2M rows
+    * instead of OOMing at these constants. Beyond either cap (or non-long
     * ids) the distributed loop below stands unchanged — at billion-edge
     * scale collecting the graph is exactly wrong. */
   private val DriverVertexCap = 2000000L
@@ -58,34 +61,55 @@ object Components {
   /** Driver union-find over a bounded graph: one limit-guarded collect per
     * input (the limit(cap+1) makes "too big" observable WITHOUT a separate
     * count job — if the collect comes back over the cap, fall back to the
-    * loop), path-compressed union-find with min-id roots, and a local
+    * loop; the wasted work is then one executeTake of ≤cap+1 rows per
+    * overflowing input, and the vertex overflow short-circuits BEFORE the
+    * edge collect so the expensive edge pipeline is never probed in that
+    * case), path-compressed union-find with min-id roots, and a local
     * relation out (the caller broadcast-joins it, same as the loop's
     * result). Long ids only — the loop handles anything least()-comparable,
-    * so non-long schemas simply keep the old path. */
+    * so non-long schemas simply keep the old path. Collects go through
+    * primitive encoders (r19 ADVICE #3): unboxed longs / specialized
+    * tuples instead of GenericRows with boxed Longs, so the cap comment's
+    * heap arithmetic is the real cost, and a live maxMemory/512 row bound
+    * keeps small-heap drivers safe below the absolute caps.
+    *
+    * UNDECLARED ("phantom") edge endpoints replicate the loop exactly
+    * (r19 ADVICE #2 adjudicated the divergence; the loop semantics are the
+    * documented contract): the loop's label joins confine a phantom id to
+    * round 0's raw neighbor-min, where it can LOWER a declared neighbor's
+    * label — and that label then spreads through the component via
+    * declared edges — but a phantom can never BRIDGE two declared
+    * vertices (rounds ≥1 drop phantom edges on the label join, and the
+    * convergence certificate only inspects declared-declared edges). So:
+    * union-find over declared-declared edges only, a per-vertex one-hop
+    * phantom minimum on the side, folded into each component's final min.
+    * EdgeCaseSpec pins the transitive-phantom and smaller-phantom cases on
+    * BOTH paths. */
   private def driverComponents(vertices: DataFrame, edges: DataFrame,
       vertexCap: Long, edgeCap: Long): Option[DataFrame] = {
     val longIds = vertices.schema.fields.headOption.exists(_.dataType == LongType) &&
       edges.schema.fields.forall(_.dataType == LongType)
     if (!longIds || vertexCap <= 0 || edgeCap <= 0) return None
-    if (vertexCap > Int.MaxValue - 1 || edgeCap > Int.MaxValue - 1) return None
-    val vs = vertices.select(col("id")).limit(vertexCap.toInt + 1).collect()
-    if (vs.length > vertexCap) return None
-    val es = edges.select(col("src"), col("dst")).limit(edgeCap.toInt + 1).collect()
-    if (es.length > edgeCap) return None
-    // Index every id seen (vertices first; edge endpoints outside the vertex
-    // list keep the contract lenient the same way the loop's round-0
-    // neighbor-min does — they participate in min propagation but emit no
-    // output row of their own).
+    val heapRows = Runtime.getRuntime.maxMemory / 512
+    val vCap = math.min(vertexCap, heapRows)
+    val eCap = math.min(edgeCap, heapRows)
+    if (vCap <= 0 || eCap <= 0) return None
+    if (vCap > Int.MaxValue - 1 || eCap > Int.MaxValue - 1) return None
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val vs = vertices.select(col("id")).limit(vCap.toInt + 1)
+      .as[Long].collect()
+    if (vs.length > vCap) return None
+    val es = edges.select(col("src"), col("dst")).limit(eCap.toInt + 1)
+      .as[(Long, Long)].collect()
+    if (es.length > eCap) return None
     val idx = new scala.collection.mutable.LongMap[Int](vs.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Long](vs.length)
-    def indexOf(id: Long): Int =
-      idx.getOrElse(id, {
-        val i = ids.length; idx.put(id, i); ids += id; i
-      })
-    vs.foreach(r => indexOf(r.getLong(0)))
+    vs.foreach { id =>
+      if (!idx.contains(id)) { idx.put(id, ids.length); ids += id }
+    }
     val nV = ids.length // output rows = declared vertices only
-    es.foreach { r => indexOf(r.getLong(0)); indexOf(r.getLong(1)); () }
-    val parent = Array.tabulate(ids.length)(identity)
+    val parent = Array.tabulate(nV)(identity)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -93,20 +117,43 @@ object Components {
       while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    // Union with min-ID roots: the root's id IS the component minimum, the
-    // same invariant the loop's least()-propagation converges to.
-    es.foreach { r =>
-      val ra = find(indexOf(r.getLong(0)))
-      val rb = find(indexOf(r.getLong(1)))
-      if (ra != rb) {
-        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
-      }
+    // One-hop phantom minimum per declared vertex (the loop's round-0 raw
+    // neighbor-min contribution from undeclared endpoints).
+    val phanMin = Array.fill(nV)(Long.MaxValue)
+    es.foreach { case (a, b) =>
+      val ia = idx.getOrElse(a, -1)
+      val ib = idx.getOrElse(b, -1)
+      if (ia >= 0 && ib >= 0) {
+        // Union with min-ID roots: the root's id IS the component minimum,
+        // the same invariant the loop's least()-propagation converges to.
+        val ra = find(ia)
+        val rb = find(ib)
+        if (ra != rb) {
+          if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      } else if (ia >= 0) {
+        if (b < phanMin(ia)) phanMin(ia) = b
+      } else if (ib >= 0) {
+        if (a < phanMin(ib)) phanMin(ib) = a
+      } // both undeclared: the loop never sees the edge — drop it
     }
-    val spark = vertices.sparkSession
+    // Fold the one-hop phantom minima into each component's root: the loop
+    // spreads a round-0-lowered label through the component's declared
+    // edges, so the fixpoint is min(component ids, members' phantom mins).
+    val rootPhan = Array.fill(nV)(Long.MaxValue)
+    var i = 0
+    while (i < nV) {
+      val r = find(i)
+      if (phanMin(i) < rootPhan(r)) rootPhan(r) = phanMin(i)
+      i += 1
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("rep", LongType, nullable = false)))
-    val out = (0 until nV).map(i => Row(ids(i), ids(find(i))))
+    val out = (0 until nV).map { k =>
+      val r = find(k)
+      Row(ids(k), math.min(ids(r), rootPhan(r)))
+    }
     Some(spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(out).asJava), schema))

@@ -66,11 +66,20 @@ object BenchProfile {
     val ab = flag("ab").map { kv =>
       val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
     }
+    // Arm A must restore the value the SESSION was built with, not Spark's
+    // global default (r19 ADVICE #4): unset() on a builder-pinned key
+    // (spark.sql.shuffle.partitions, spark.sql.ansi.enabled) would run arm
+    // A with the wrong baseline and mis-measure the comparison.
+    val abBaseline = ab.map { case (k, _) => spark.conf.getOption(k) }
+    def restoreA(k: String): Unit = abBaseline.flatten match {
+      case Some(orig) => spark.conf.set(k, orig)
+      case None => spark.conf.unset(k)
+    }
     names.foreach { q =>
       val samples = (0 until (if (ab.isDefined) reps * 2 else reps)).map { i =>
         val armB = ab.isDefined && i % 2 == 1
         ab.foreach { case (k, v) =>
-          if (armB) spark.conf.set(k, v) else spark.conf.unset(k)
+          if (armB) spark.conf.set(k, v) else restoreA(k)
         }
         if (fresh) SessionCache.invalidateMemoized(spark)
         jobs.set(0); tasks.set(0); taskTime.set(0)
@@ -80,7 +89,7 @@ object BenchProfile {
         Thread.sleep(150)
         (wall, jobs.get, tasks.get, taskTime.get / 1e3, armB)
       }
-      ab.foreach { case (k, _) => spark.conf.unset(k) }
+      ab.foreach { case (k, _) => restoreA(k) }
       def line(tag: String, ss: Seq[(Double, Int, Int, Double, Boolean)]): Unit = {
         val walls = ss.map(_._1).sorted
         val med = walls(walls.size / 2)

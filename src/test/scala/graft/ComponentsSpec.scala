@@ -80,6 +80,26 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("phantom-endpoint random graphs: driver and loop paths agree") {
+    // r19 ADVICE #2: the two paths used to diverge on undeclared edge
+    // endpoints (the driver union-find bridged through phantoms, the loop
+    // only lets a phantom lower a neighbor's label at round 0). The driver
+    // path now replicates the loop; random graphs with endpoints drawn
+    // from [-n, 2n) — ids outside [0, n) are undeclared, including ones
+    // SMALLER than every declared id (the label-lowering case) — must
+    // agree exactly between the paths.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 2 + rnd.nextInt(20)
+      val m = 1 + rnd.nextInt(40)
+      val edges = Seq.fill(m)(
+        ((rnd.nextInt(3 * n) - n).toLong, (rnd.nextInt(3 * n) - n).toLong))
+      val driver = ccOf(n, edges)
+      val loop = ccOf(n, edges, forceLoop = true)
+      assert(driver == loop, s"trial $trial n=$n edges=$edges")
+    }
+  }
+
   test("adversarial shapes: long path, cycle, star, edge-free round-0 exit") {
     for (forceLoop <- Seq(false, true)) {
       // Path 0-1-...-24: diameter 24 forces multiple certificate rounds and
