@@ -82,7 +82,6 @@ object MinHash {
     * expanded back to document pairs only at the very end. */
   def nearDupPairs(docs: DataFrame, idCol: String, tokensCol: String,
       numHashes: Int, numBands: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(numBands >= 1 && numHashes % numBands == 0,
       s"numBands ($numBands) must divide numHashes ($numHashes) — see bands()")
     // Checkpoint the collapsed-set stage (lazy — eager would run a job at
@@ -121,19 +120,45 @@ object MinHash {
     val vocab = sets.select(explode(col("toks")).as("tok")).distinct()
     // limit(65): only "is it > 64" matters — don't pay a full-corpus
     // distinct count for a branch decision.
-    val confirmed = if (vocab.limit(65).count() <= 64) {
-      // ≤64 rows: the single-partition window is trivially safe. The mask
-      // table is one row per distinct SET — small whenever this branch
-      // applies, so both confirm joins broadcast (no candidate shuffle).
-      val vocabIdx = vocab.withColumn("idx",
-        row_number().over(Window.orderBy("tok")) - 1)
-      // array_distinct BEFORE exploding: the input contract does not demand
-      // distinct tokens, and a duplicate would double its bit contribution —
-      // wrong masks, and an ANSI overflow for a duplicated bit-63 token.
-      val masks = sets.select(col("rep"), explode(array_distinct(col("toks"))).as("tok"))
-        .join(broadcast(vocabIdx), "tok")
-        .groupBy("rep")
-        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+    val vocabRows = vocab.limit(65).collect().map(_.getString(0))
+    val confirmed = if (vocabRows.length <= 64) {
+      // Vocabulary as a LOCAL sorted literal + per-set OR-fold — the
+      // round-9 q33 maskPairs rewrite applied here in r20: the ≤65-row
+      // probe already fetches the whole vocabulary when this branch
+      // applies, so the old derivation — vocab distinct feeding a global
+      // row_number window (2 exchanges), an explode, a broadcast join and
+      // a groupBy shuffle, and the r20 plan dump showed that ENTIRE
+      // subtree planned TWICE, once per confirm side (r1/r2 aliases
+      // defeat exchange reuse) — collapses to one fold expression over
+      // the checkpointed sets. Bit assignment is unchanged:
+      // array_position over the UTF-8-byte-sorted vocab (exactly
+      // UTF8String/sort_array binary order — NOT java String order, which
+      // diverges on supplementary planes) ranks tokens like
+      // row_number-over-orderBy did; a null token (which the old window
+      // RANKED but the old join then dropped) is dropped from the layout
+      // here, a pure bit permutation invisible to the popcount Jaccard;
+      // the OR-fold is duplicate-proof (the old sum needed
+      // array_distinct) and the when() keeps null tokens contributing
+      // nothing, like the old inner join did. One semantic note: a
+      // zero-token set now carries mask 0 instead of having NO mask row,
+      // so an (empty, non-empty) candidate reaches the Jaccard filter
+      // (0, or 0/0→NaN) instead of being dropped by the old inner join —
+      // identical output for any threshold > 0 (EdgeCaseSpec pins the
+      // empty-token contract; thresholds ≤ 0 are out of contract, the
+      // S-curve is meaningless there).
+      val vocabSorted = vocabRows.filter(_ != null).sortWith { (a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }.toSeq
+      val vlit = typedLit(vocabSorted)
+      val masks = graft.SessionCache.lazyLocalCheckpoint("minhash-masks")(
+        sets.select(col("rep"),
+          aggregate(col("toks"), lit(0L), (acc, t) =>
+            when(t.isNull, acc).otherwise(acc.bitwiseOR(
+              call_function("shiftleft", lit(1L),
+                call_function("array_position", vlit, t).cast("int") - 1))))
+            .as("mask")))
       cand
         .join(broadcast(masks.select(col("rep").as("r1"), col("mask").as("m1"))), "r1")
         .join(broadcast(masks.select(col("rep").as("r2"), col("mask").as("m2"))), "r2")
