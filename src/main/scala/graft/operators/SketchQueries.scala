@@ -72,7 +72,13 @@ object SketchQueries {
       (s, dir) => {
         // Fingerprint DISTINCT token sets (one grouped codegen pass), band
         // by 16-bit chunks, confirm hamming, then expand to doc pairs.
-        val grouped = MinHash.distinctSets(docToks(s, dir), "doc_id", "toks")
+        // Checkpoint the collapsed-set stage like q50's nearDupPairs does
+        // (r20): the members expansion below references it once per join
+        // side plus twice in the intra self-join, and the un-checkpointed
+        // plan re-derived the corpus groupBy FOUR times — the r20 dump
+        // showed 8 parquet scans of documents in one q51 plan.
+        val grouped = graft.SessionCache.lazyLocalCheckpoint("q51-sets")(
+          MinHash.distinctSets(docToks(s, dir), "doc_id", "toks"))
         val fp = SimHash.simhashAgg(
           grouped.select(col("rep"), col("toks")), "rep", "toks")
         // Checkpoint before the self-join below: both candidate sides would
