@@ -125,12 +125,26 @@ object TextQueries {
     * cap anyway. */
   private val DriverSetCap = 16384
 
+  /** [[maskPairs]] with both frames lazily checkpointed and the PAIR
+    * (masks, pairs) memoized per (session, dir) — r20: q33 and the
+    * q78/q133 cluster relation consume the same mask derivation, and
+    * before this helper q33 alone re-planned the masks subtree FOUR times
+    * (once per inter join side, twice in the intra self-join — 12
+    * documents scans in one plan) while q33 and q78/q133 each paid their
+    * own build within a bench session. One checkpoint per (session, dir)
+    * now serves every consumer; SessionCache owns invalidation (bench
+    * retries) and dead-session sweeping. */
+  private def maskPairsCached(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.SessionCache.getOrBuild(s, s"mask-pairs:$dir") {
+      val (masks0, pairs0) = maskPairs(s, dir)
+      (graft.SessionCache.lazyLocalCheckpoint(s"dedup-masks:$dir")(masks0),
+        graft.SessionCache.lazyLocalCheckpoint(s"dedup-pairs:$dir")(pairs0))
+    }
+
   private[graft] def dedupClustersUncached(s: SparkSession, dir: String,
       driverSetCap: Int = DriverSetCap): DataFrame = {
-    val (masks0, pairs0) = maskPairs(s, dir)
-    val masks = graft.SessionCache.lazyLocalCheckpoint(s"dedup-masks:$dir")(masks0)
+    val (masks, pairs) = maskPairsCached(s, dir)
     driverClusterRelation(masks, driverSetCap).getOrElse {
-      val pairs = graft.SessionCache.lazyLocalCheckpoint(s"dedup-pairs:$dir")(pairs0)
       // setRep/comp are per-DISTINCT-SET relations. Explicit broadcast: their
       // inputs are checkpointed LogicalRDDs with unknown stats, so without the
       // hint each join plans as a sort-merge over the 511 k-row pair frame
@@ -220,7 +234,7 @@ object TextQueries {
   }
 
   private def exactNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val (masks, pairs) = maskPairs(s, dir)
+    val (masks, pairs) = maskPairsCached(s, dir)
     val inter = pairs
       .join(masks.select(col("doc_id").as("da"), col("mask").as("m1")), "m1")
       .join(masks.select(col("doc_id").as("db"), col("mask").as("m2")), "m2")
